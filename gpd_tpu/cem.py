@@ -1,0 +1,167 @@
+"""Sequential importance sampling (CEM) outer loop.
+
+TPU-native equivalent of the reference's
+``SequentialImportanceSampling::detectGrasps``
+(reference: src/gpd/sequential_importance_sampling.cpp:54-270): each
+iteration re-runs the jitted detection core at freshly drawn samples; the
+Gaussian mixture refit uses the accumulated surviving hand-set samples.
+Sampling uses explicit jax.random keys instead of the reference's unseeded
+rand()/mt19937.
+
+Multi-device: the per-iteration candidate evaluation shards the sample axis
+across a device mesh (see gpd_tpu.parallel.sharded); the accumulated sample
+set (the mixture centers) is gathered — the "psum of sufficient statistics"
+step of SURVEY.md §5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpd_tpu.config import CEMConfig, DetectorConfig
+from gpd_tpu.core.types import CloudArrays, Grasps
+from gpd_tpu.detector import GraspDetector, detect_core, select_and_cluster
+from gpd_tpu import select as sel
+from gpd_tpu.ops import preprocess as pp
+
+SUM_OF_GAUSSIANS = 0
+MAX_OF_GAUSSIANS = 1
+
+
+def draw_sum_of_gaussians(key, centers, center_mask, sigma, n):
+    """drawSamplesFromSumOfGaussians (sequential_importance_sampling.cpp:
+    189-201): pick a random mixture center, add N(0, sigma^2) I noise."""
+    k1, k2 = jax.random.split(key)
+    probs = center_mask.astype(jnp.float32)
+    probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
+    idx = jax.random.choice(k1, centers.shape[0], shape=(n,), p=probs)
+    noise = jax.random.normal(k2, (n, 3)) * sigma
+    return centers[idx] + noise
+
+
+def draw_max_of_gaussians(key, centers, center_mask, sigma, n, oversample=4):
+    """drawSamplesFromMaxOfGaussians (.cpp:203-237): rejection sampling —
+    accept a draw from center j if its density under center j is >= the max
+    density over all centers. Implemented as a fixed-size batched rejection
+    pass with fallback to accepted-anywhere fills."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    m = n * oversample
+    probs = center_mask.astype(jnp.float32)
+    probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
+    idx = jax.random.choice(k1, centers.shape[0], shape=(m,), p=probs)
+    x = centers[idx] + jax.random.normal(k2, (m, 3)) * sigma
+    d2 = jnp.sum((x[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(center_mask[None, :], d2, jnp.inf)
+    # densities share the normalizer; compare squared distances directly
+    # (min distance <=> max density).
+    d2_own = jnp.sum((x - centers[idx]) ** 2, axis=-1)
+    accept = d2_own <= jnp.min(d2, axis=1) + 1e-12
+    # Order accepted draws first, take n.
+    order = jnp.argsort(~accept, stable=True)
+    return x[order[:n]]
+
+
+def draw_uniform_cloud_samples(key, points, pool_mask, workspace, n):
+    """drawUniformSamples (.cpp:239-270): uniform over cloud points inside
+    the workspace."""
+    # Reference uses >=/<= bounds here (unlike the strict preprocess filter).
+    w = workspace
+    inside = pool_mask & \
+        (points[:, 0] >= w[0]) & (points[:, 0] <= w[1]) & \
+        (points[:, 1] >= w[2]) & (points[:, 1] <= w[3]) & \
+        (points[:, 2] >= w[4]) & (points[:, 2] <= w[5])
+    probs = inside.astype(jnp.float32)
+    probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
+    idx = jax.random.choice(key, points.shape[0], shape=(n,), p=probs)
+    return points[idx]
+
+
+class SequentialImportanceSampling:
+    """CEM grasp detector (reference: include/gpd/
+    sequential_importance_sampling.h)."""
+
+    def __init__(self, detector: GraspDetector, cem: CEMConfig):
+        self.detector = detector
+        self.cem = cem
+
+    def detect(self, cloud: CloudArrays, key: Optional[jax.Array] = None,
+               verbose: bool = True) -> Grasps:
+        cfg = self.detector.cfg
+        cem = self.cem
+        key = key if key is not None else jax.random.PRNGKey(0)
+        t0 = time.time()
+
+        n_rand = int(cem.prob_rand_samples * cem.num_samples_per_iteration)
+        n_gauss = cem.num_samples_per_iteration - n_rand
+        sigma = cem.standard_deviation
+
+        # 1. Initial hypotheses at uniform samples (.cpp:71-78).
+        k0, key = jax.random.split(key)
+        idx, valid = pp.subsample_uniform(k0, cloud.mask, cem.num_init_samples)
+        sample_pos = jnp.where(valid[:, None], cloud.points[idx], 1e6)
+        cap = self.detector.image_cap(cem.num_samples_per_iteration)
+
+        all_grasps = []
+        all_centers = []
+        all_center_masks = []
+
+        def run_round(spos, smask, k):
+            g, _ = detect_core(cloud, spos, smask, self.detector.params,
+                               k, cfg, cap)
+            hg = cfg.hand_geometry
+            g = sel.filter_grasps_workspace(
+                g, cfg.workspace_grasps, cfg.min_aperture, cfg.max_aperture,
+                hg.outer_diameter, hg.depth)
+            if cfg.filter_approach_direction:
+                g = sel.filter_grasps_direction(g, cfg.direction, cfg.thresh_rad)
+            return g
+
+        kk, key = jax.random.split(key)
+        g = run_round(sample_pos, valid, kk)
+        all_grasps.append(g)
+        all_centers.append(g.sample)
+        all_center_masks.append(g.valid)
+        if verbose:
+            print(f"Initially detected grasp candidates: "
+                  f"{int(np.asarray(g.valid).sum())}")
+
+        # 2. Importance-sampling rounds (.cpp:112-157).
+        for it in range(cem.num_iterations):
+            centers = jnp.concatenate(all_centers)
+            cmask = jnp.concatenate(all_center_masks)
+            kg, ku, kd, key = jax.random.split(key, 4)
+            if cem.sampling_method == MAX_OF_GAUSSIANS:
+                gs = draw_max_of_gaussians(kg, centers, cmask, sigma, n_gauss)
+            else:
+                gs = draw_sum_of_gaussians(kg, centers, cmask, sigma, n_gauss)
+            us = draw_uniform_cloud_samples(ku, cloud.points, cloud.mask,
+                                            cfg.workspace, n_rand)
+            spos = jnp.concatenate([gs, us])
+            smask = jnp.ones(spos.shape[0], bool)
+            g = run_round(spos, smask, kd)
+            all_grasps.append(g)
+            all_centers.append(g.sample)
+            all_center_masks.append(g.valid)
+            if verbose:
+                print(f"Added {int(np.asarray(g.valid).sum())} grasp "
+                      f"candidates in round {it}.")
+
+        # 3. Prune by score (pruneGraspCandidates, grasp_detector.cpp:529-552)
+        merged = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs), *all_grasps)
+        merged = dataclasses.replace(
+            merged, valid=merged.valid & (merged.score > cem.min_score))
+
+        # 4. Cluster + final ordering (.cpp:174-186).
+        out = select_and_cluster(merged, cfg)
+        if verbose:
+            print(f"Final result: found {int(np.asarray(out.valid).sum())} "
+                  f"grasps.")
+            print(f"Total runtime: {time.time() - t0:.4f}s")
+        return out

@@ -1,0 +1,265 @@
+"""Grasp detection pipeline orchestration.
+
+TPU-native equivalent of the reference's ``GraspDetector``
+(reference: src/gpd/grasp_detector.cpp): preprocessing runs as device kernels
+with one host compaction; the detection core — local frames, hand search,
+filters, candidate compaction, descriptor extraction, CNN scoring — is a
+single jitted fixed-shape XLA program (``detect_core``), so the whole
+cloud -> scored-grasps path stays on-chip.
+
+Stage timing is reported in the reference's format
+(grasp_detector.cpp:313-320).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpd_tpu.config import DetectorConfig, load_config
+from gpd_tpu.core.types import CloudArrays, Grasps, _next_size
+from gpd_tpu import select as sel
+from gpd_tpu.net import lenet
+from gpd_tpu.ops import candidates as cand
+from gpd_tpu.ops import images as img
+from gpd_tpu.ops import preprocess as pp
+from gpd_tpu.ops.frames import estimate_frames
+from gpd_tpu.ops.neighbors import radius_neighbors
+from gpd_tpu.ops.normals import (estimate_normals, refine_normals,
+                                 reverse_normals_cloud)
+
+
+def _compact_hands(grasps: Grasps, cap: int) -> Grasps:
+    """Device-side compaction: bring valid hands to the front (stable), keep
+    ``cap`` slots. Mirrors the reference's createImageList compaction
+    (image_generator.cpp:91-98) without leaving the device."""
+    order = jnp.argsort(~grasps.valid, stable=True)
+    g = grasps.take(order[:cap])
+    return g
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "image_cap"))
+def detect_core(cloud: CloudArrays, sample_pos: jax.Array,
+                sample_mask: jax.Array, params, key: jax.Array,
+                cfg: DetectorConfig, image_cap: int) -> Tuple[Grasps, jax.Array]:
+    """frames -> candidates -> filters -> images -> CNN scores.
+
+    Returns (compacted scored Grasps (image_cap,), images (for debug/training
+    reuse)). Pipeline = grasp_detector.cpp:192-273 steps 1-4.
+    """
+    # 1. Candidate generation (stack 3.1 step 1).
+    frames, fvalid = estimate_frames(
+        sample_pos, sample_mask, cloud.points, cloud.mask, cloud.normals,
+        radius=cfg.nn_radius_frames, k=cfg.frame_neighbors_cap)
+    grasps = cand.search_hands_with_frames(cloud, sample_pos, frames, fvalid, cfg)
+
+    # 2. Filters (grasp_detector.cpp:236-258).
+    hg = cfg.hand_geometry
+    grasps = sel.filter_grasps_workspace(
+        grasps, cfg.workspace_grasps, cfg.min_aperture, cfg.max_aperture,
+        hg.outer_diameter, hg.depth)
+    if cfg.filter_approach_direction:
+        grasps = sel.filter_grasps_direction(grasps, cfg.direction,
+                                             cfg.thresh_rad)
+
+    # 3. Descriptors (grasp_detector.cpp:260-265). Optionally remove the
+    # support plane from the image cloud (image_generator.cpp:101-129).
+    img_mask = cloud.mask
+    if cfg.remove_plane_before_image_calculation:
+        inl, _ = pp.fit_plane_ransac(cloud.points, cloud.mask,
+                                     jax.random.fold_in(key, 1))
+        img_mask = cloud.mask & ~inl
+
+    # Per-sample image-radius neighborhoods, shared by the sample's hands
+    # (image_generator.cpp:42-64).
+    nn_idx, nn_valid = radius_neighbors(
+        sample_pos, sample_mask, cloud.points, img_mask,
+        radius=cfg.image_radius, k=cfg.search_neighbors_cap)
+
+    if cfg.image_geometry.num_channels == 15:
+        nn_pts_s = cloud.points[nn_idx]
+        nn_cam_s = cloud.cam_source[nn_idx]
+        shadow_pts, shadow_valid = img.compute_shadows(
+            jax.random.fold_in(key, 2), nn_pts_s, nn_valid, nn_cam_s,
+            cloud.view_points, jnp.float32(img.shadow_length_of(cfg.image_geometry)),
+            n_sp=img.num_shadow_points(cfg.image_geometry),
+            v_cap=cfg.shadow_voxel_cap)
+    else:
+        shadow_pts = shadow_valid = None
+
+    g = _compact_hands(grasps, image_cap)
+    sid = g.sample_id
+    h_idx = nn_idx[sid]
+    h_nvalid = nn_valid[sid] & g.valid[:, None]
+    h_pts = cloud.points[h_idx]
+    h_nrm = cloud.normals[h_idx]
+
+    images = img.make_images(
+        h_pts, h_nrm, h_nvalid, g.orientation, g.sample, g.bottom, g.center,
+        g.valid, cfg.image_geometry,
+        shadow_pts=None if shadow_pts is None else shadow_pts[sid],
+        shadow_valid=None if shadow_valid is None else shadow_valid[sid])
+
+    # 4. Classification (grasp_detector.cpp:267-273).
+    scores = lenet.score(params, images)
+    g = dataclasses.replace(g, score=jnp.where(g.valid, scores, -jnp.inf))
+    return g, images
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def select_and_cluster(grasps: Grasps, cfg: DetectorConfig) -> Grasps:
+    """Steps 5-7 of detectGrasps (grasp_detector.cpp:275-311): top-k
+    selection, optional clustering with the reference's <=3-clusters
+    fallback (append the selected hands), final score-descending sort."""
+    g, _ = sel.select_top_k(grasps, cfg.num_selected)
+    if cfg.min_inliers > 0:
+        clustered = sel.cluster_grasps(g, cfg.min_inliers)
+        n_clusters = jnp.sum(clustered.valid)
+        keep_originals = n_clusters <= 3
+        merged = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), clustered, g)
+        merged = dataclasses.replace(
+            merged,
+            valid=jnp.concatenate(
+                [clustered.valid, g.valid & keep_originals]))
+        return sel.sort_by_score(merged)
+    return sel.sort_by_score(g)
+
+
+class GraspDetector:
+    """End-to-end detector (reference: include/gpd/grasp_detector.h)."""
+
+    def __init__(self, config, params=None):
+        if isinstance(config, str):
+            config = load_config(config)
+        self.cfg: DetectorConfig = config
+        if params is not None:
+            self.params = params
+        else:
+            try:
+                self.params = lenet.load_params(
+                    self.cfg.weights_file, self.cfg.image_geometry.num_channels)
+            except (FileNotFoundError, ValueError, OSError) as e:
+                print(f"WARNING: could not load classifier weights "
+                      f"({e}); using random initialization.")
+                self.params = lenet.init_params(
+                    jax.random.PRNGKey(0), self.cfg.image_geometry.num_channels)
+        self.last_runtimes = {}
+
+    # ---------------- preprocessing (stack 3.1 preprocess) ----------------
+
+    def preprocess_cloud(self, points: np.ndarray,
+                         view_points: Optional[np.ndarray] = None,
+                         cam_source: Optional[np.ndarray] = None,
+                         normals: Optional[np.ndarray] = None,
+                         key: Optional[jax.Array] = None) -> CloudArrays:
+        """removeNans -> filterWorkspace -> voxelize -> normals(+reverse)
+        -> [refine] (candidates_generator.cpp:14-37). Returns a compacted
+        CloudArrays ready for detection."""
+        cfg = self.cfg
+        points = np.asarray(points, np.float32).reshape(-1, 3)
+        finite = np.isfinite(points).all(axis=1)
+        points = points[finite]
+        if normals is not None:
+            normals = np.asarray(normals, np.float32).reshape(-1, 3)[finite]
+        if cam_source is not None:
+            cam_source = np.asarray(cam_source)[..., finite]
+
+        cloud = CloudArrays.from_numpy(points, view_points=view_points,
+                                       cam_source=cam_source, normals=normals)
+        cloud = pp.filter_workspace(cloud, cfg.workspace)
+        if cfg.voxelize:
+            cloud = pp.voxelize(cloud, cfg.voxel_size)
+        cloud = cloud.compact_host()
+        if cfg.remove_outliers:
+            cloud = pp.remove_statistical_outliers(cloud)
+            cloud = cloud.compact_host()
+        if normals is None or cfg.voxelize:
+            cloud = estimate_normals(cloud, cfg.normals_radius,
+                                     k=cfg.normals_neighbors_cap)
+        cloud = reverse_normals_cloud(cloud)
+        if cfg.refine_normals_k > 0:
+            refined = refine_normals(cloud.points, cloud.normals, cloud.mask,
+                                     k=cfg.refine_normals_k)
+            cloud = dataclasses.replace(cloud, normals=refined)
+        if cfg.centered_at_origin:
+            cloud = dataclasses.replace(cloud, normals=-cloud.normals)
+        return cloud
+
+    def sample_cloud(self, cloud: CloudArrays,
+                     key: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
+        """sampleAbovePlane? -> subsample(num_samples) -> (positions, mask)."""
+        cfg = self.cfg
+        key = key if key is not None else jax.random.PRNGKey(0)
+        pool = cloud.mask
+        if cfg.sample_above_plane:
+            pool = pp.sample_above_plane(cloud, jax.random.fold_in(key, 3))
+        idx, valid = pp.subsample_uniform(jax.random.fold_in(key, 4), pool,
+                                          cfg.num_samples)
+        pos = jnp.where(valid[:, None], cloud.points[idx], 1e6)
+        return pos, valid
+
+    # ---------------- detection ----------------
+
+    def image_cap(self, num_samples: int) -> int:
+        cfg = self.cfg
+        total = num_samples * cfg.num_orientations * len(cfg.hand_axes)
+        return min(_next_size(total, 256), 4096)
+
+    def detect(self, cloud: CloudArrays,
+               sample_pos: Optional[jax.Array] = None,
+               sample_mask: Optional[jax.Array] = None,
+               key: Optional[jax.Array] = None,
+               verbose: bool = True) -> Grasps:
+        """Full detectGrasps pipeline with per-stage timing."""
+        cfg = self.cfg
+        key = key if key is not None else jax.random.PRNGKey(0)
+        t0 = time.time()
+        if sample_pos is None:
+            sample_pos, sample_mask = self.sample_cloud(cloud, key)
+        cap = self.image_cap(sample_pos.shape[0])
+
+        t_c0 = time.time()
+        g, images = detect_core(cloud, sample_pos, sample_mask, self.params,
+                                key, cfg, cap)
+        g.valid.block_until_ready()
+        t_detect = time.time() - t_c0
+
+        t_s0 = time.time()
+        out = select_and_cluster(g, cfg)
+        out.valid.block_until_ready()
+        t_select = time.time() - t_s0
+        t_total = time.time() - t0
+
+        self.last_runtimes = dict(detect=t_detect, select=t_select,
+                                  total=t_total)
+        if verbose:
+            n = int(np.asarray(out.valid).sum())
+            print("======== Selected grasps ========")
+            scores = np.asarray(out.score)
+            valid = np.asarray(out.valid)
+            for i in np.nonzero(valid)[0][:10]:
+                print(f"Grasp {i}: {scores[i]:.4f}")
+            print(f"Selected the {n} best grasps.")
+            print("======== RUNTIMES ========")
+            print(f" 1. Candidate generation + descriptors + classification:"
+                  f" {t_detect:.4f}s")
+            print(f" 2. Selection/clustering: {t_select:.4f}s")
+            print("==========")
+            print(f" TOTAL: {t_total:.4f}s")
+        return out
+
+    def detect_file(self, pcd_path: str, key=None, verbose=True) -> Grasps:
+        """CONFIG+PCD -> grasps (the detect_grasps app path,
+        src/detect_grasps.cpp)."""
+        from gpd_tpu.io.pcd import load_cloud_file
+        points = load_cloud_file(pcd_path)
+        vp = np.asarray(self.cfg.camera_position, np.float32).reshape(1, 3)
+        cloud = self.preprocess_cloud(points, view_points=vp)
+        return self.detect(cloud, key=key, verbose=verbose)

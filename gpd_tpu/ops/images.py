@@ -1,0 +1,278 @@
+"""Grasp-image descriptor extraction.
+
+TPU-native equivalent of the reference's descriptor layer
+(reference: src/gpd/descriptor/image_strategy.cpp,
+image_{1,3,12,15}_channels_strategy.cpp, image_generator.cpp,
+src/gpd/candidate/hand_set.cpp:118-233 shadow computation): rasterization is
+a batched scatter (segment-sum) over all candidates at once, dilation is a
+3x3 max-pool, normalization a per-image minmax — no per-hand cv::Mat loops.
+
+Deliberate divergences (documented):
+  - createNormalsImage (image_strategy.cpp:124-156) does an order-dependent
+    incremental blend of |n| per cell, where the order is the kd-tree result
+    order; here each cell takes the mean of |n| — order-independent and
+    batched. Downstream effect is sub-quantization after the joint minmax +
+    uint8 step for typical cells.
+  - shadow voxel jitter uses jax.random instead of the reference's unseeded
+    LCG/mt19937 (hand_set.cpp:263-266, 187-206) — the reference is not
+    reproducible by design, so equivalence is statistical.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gpd_tpu.config import ImageGeometry
+
+SHADOW_VOXEL = 0.003
+
+
+def num_shadow_points(image: ImageGeometry) -> int:
+    """floor(shadow_length / voxel); shadow_length = max image dim
+    (image_15_channels_strategy.h:75, hand_set.cpp:121-123)."""
+    shadow_length = max(image.outer_diameter, image.depth, image.height / 2.0)
+    return int(shadow_length // SHADOW_VOXEL)
+
+
+def shadow_length_of(image: ImageGeometry) -> float:
+    return max(image.outer_diameter, image.depth, image.height / 2.0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_sp", "v_cap"))
+def compute_shadows(key, nn_pts, nn_valid, nn_cam, view_points,
+                    shadow_length, n_sp: int, v_cap: int):
+    """Per-sample occluded-region point sets (HandSet::calculateShadow,
+    hand_set.cpp:118-233).
+
+    Args:
+      nn_pts: (S, K, 3) world-frame neighborhood points.
+      nn_valid: (S, K) bool.
+      nn_cam: (S, K) uint32 camera bitmask per neighborhood point.
+      view_points: (V, 3) camera positions.
+      n_sp: shadow points cast per cloud point.
+      v_cap: output cap on unique shadow voxels per sample.
+
+    Returns:
+      (shadow_pts (S, v_cap, 3), shadow_valid (S, v_cap)).
+    """
+    S, K, _ = nn_pts.shape
+    V = view_points.shape[0]
+    w = nn_valid.astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    center = jnp.sum(nn_pts * w[..., None], axis=1) / cnt[:, None]   # (S, 3)
+
+    # Which cameras see >= 1 point of each neighborhood (hand_set.cpp:130).
+    cam_ids = jnp.arange(V, dtype=jnp.uint32)
+    seen_pt = ((nn_cam[..., None] >> cam_ids) & 1) > 0               # (S,K,V)
+    seen_pt = seen_pt & nn_valid[..., None]
+    cam_seen = jnp.any(seen_pt, axis=1)                              # (S, V)
+
+    inv_vox = 1.0 / SHADOW_VOXEL
+    OFF = jnp.int32(512)
+
+    def cam_voxels(c, subkey):
+        vec = center - view_points[c][None, :]                       # (S, 3)
+        vec = shadow_length * vec / jnp.maximum(
+            jnp.linalg.norm(vec, axis=1, keepdims=True), 1e-12)
+        u = jax.random.uniform(subkey, (S, K, n_sp))
+        q = nn_pts[:, :, None, :] + u[..., None] * vec[:, None, None, :]
+        vox = jnp.trunc(q * inv_vox).astype(jnp.int32)               # C++ cast<int>
+        key_ = (((vox[..., 0] + OFF) << 20) | ((vox[..., 1] + OFF) << 10)
+                | (vox[..., 2] + OFF))
+        key_ = jnp.where(nn_valid[:, :, None], key_, jnp.int32(2 ** 30))
+        return key_.reshape(S, K * n_sp)
+
+    keys = jax.random.split(key, V)
+    cam0 = jnp.sort(cam_voxels(0, keys[0]), axis=1)                  # (S, K*n_sp)
+    uniq = jnp.concatenate(
+        [jnp.ones((S, 1), bool), cam0[:, 1:] != cam0[:, :-1]], axis=1)
+    valid = uniq & (cam0 < 2 ** 30) & cam_seen[:, 0:1]
+
+    # Intersect with every other camera that sees the neighborhood
+    # (hand_set.cpp:168-176).
+    for c in range(1, V):
+        oc = jnp.sort(cam_voxels(c, keys[c]), axis=1)
+        pos = jax.vmap(jnp.searchsorted)(oc, cam0)
+        pos = jnp.clip(pos, 0, oc.shape[1] - 1)
+        member = jnp.take_along_axis(oc, pos, axis=1) == cam0
+        valid = valid & jnp.where(cam_seen[:, c:c + 1], member, True)
+
+    # Compact unique voxels to the front, cap at v_cap.
+    order = jnp.argsort(~valid, axis=1, stable=True)
+    cam0c = jnp.take_along_axis(cam0, order[:, :v_cap], axis=1)
+    validc = jnp.take_along_axis(valid, order[:, :v_cap], axis=1)
+
+    vx = ((cam0c >> 20) & 0x3FF) - OFF
+    vy = ((cam0c >> 10) & 0x3FF) - OFF
+    vz = (cam0c & 0x3FF) - OFF
+    vox = jnp.stack([vx, vy, vz], axis=-1).astype(jnp.float32)
+
+    # Voxels -> points with shared-scalar N(0,1)*0.3*voxel jitter
+    # (hand_set.cpp:187-206: same scalar for all 3 coords of a voxel).
+    jkey = jax.random.fold_in(key, 7)
+    jit = jax.random.normal(jkey, (S, v_cap, 1)) * (0.3 * SHADOW_VOXEL)
+    pts = vox * SHADOW_VOXEL + jit
+    return pts, validc
+
+
+def _unit_transform(pts_hand, bottom, center, image: ImageGeometry):
+    """findPointsInUnitImage + transformPointsToUnitImage
+    (image_strategy.cpp:53-90). pts_hand: (..., 3) in hand frame.
+    Returns (unit coords (..., 3), in-volume mask)."""
+    half_od = image.outer_diameter / 2.0
+    x, y, z = pts_hand[..., 0], pts_hand[..., 1], pts_hand[..., 2]
+    b = bottom[..., None]
+    c = center[..., None]
+    inside = ((x > b) & (x < b + image.depth) &
+              (y > c - half_od) & (y < c + half_od) &
+              (z > -image.height) & (z < image.height))
+    u = (x - b) / image.depth
+    v = (y - (c - half_od)) / image.outer_diameter
+    w = (z + image.height) / (2.0 * image.height)
+    return jnp.stack([u, v, w], axis=-1), inside
+
+
+def _cells(c0, c1, size: int):
+    """findCellIndices (image_strategy.cpp:92-102) + the row flip applied at
+    write time (createBinaryImage etc.: row = size-1 - idx/size, col = idx%size).
+    Returns flat pixel index row*size + col."""
+    vert = jnp.minimum(jnp.floor(c0 * size).astype(jnp.int32), size - 1)
+    horz = jnp.minimum(jnp.floor(c1 * size).astype(jnp.int32), size - 1)
+    row = (size - 1) - vert
+    col = horz
+    return row * size + col
+
+
+def _scatter_mean(cell, mask, values, num_hands: int, size: int):
+    """Masked per-cell mean: cell (G, K), values (G, K, C) -> (G, size*size, C)."""
+    G, K = cell.shape
+    npx = size * size
+    seg = jnp.where(mask, cell + jnp.arange(G, dtype=jnp.int32)[:, None] * npx,
+                    G * npx)
+    seg = seg.reshape(-1)
+    flat_v = values.reshape(G * K, -1)
+    flat_w = mask.reshape(-1).astype(jnp.float32)
+    sums = jax.ops.segment_sum(flat_v * flat_w[:, None], seg,
+                               num_segments=G * npx + 1)[:-1]
+    cnts = jax.ops.segment_sum(flat_w, seg, num_segments=G * npx + 1)[:-1]
+    mean = sums / jnp.maximum(cnts, 1.0)[:, None]
+    C = values.shape[-1]
+    return (mean.reshape(G, npx, C), cnts.reshape(G, npx))
+
+
+def _dilate3(img):
+    """3x3 max dilation (cv::dilate with MORPH_RECT 3x3), border = -inf
+    so padding never injects values. img: (G, H, W, C)."""
+    return jax.lax.reduce_window(
+        img, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 1, 1, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)])
+
+
+def _minmax_u8(img, joint_axes):
+    """cv::normalize NORM_MINMAX to [0,1] then convertTo(CV_8U, 255)
+    (image_strategy.cpp:149-155). joint_axes: axes sharing one min/max
+    (the 3 normal channels normalize jointly)."""
+    mn = jnp.min(img, axis=joint_axes, keepdims=True)
+    mx = jnp.max(img, axis=joint_axes, keepdims=True)
+    rng = mx - mn
+    out = jnp.where(rng > 0, (img - mn) / jnp.where(rng > 0, rng, 1.0), 0.0)
+    return jnp.rint(out * 255.0).astype(jnp.uint8)
+
+
+# Projection index permutations (image_12_channels_strategy.cpp:42-56 /
+# image_15_channels_strategy.cpp:55-71): sequential row swaps (0,2) then (1,2)
+# of the unit-coordinate rows give projections P0=(u,v,w), P1=(w,v,u),
+# P2=(w,u,v).
+_PROJECTIONS = ((0, 1, 2), (2, 1, 0), (2, 0, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("image", "num_channels"))
+def _raster_kernel(unit, inside, nrm_hand, shadow_unit, shadow_inside,
+                   image: ImageGeometry, num_channels: int):
+    """Rasterize all channel stacks for a batch of hands.
+
+    unit: (G, K, 3) unit-volume coords; inside: (G, K);
+    nrm_hand: (G, K, 3) hand-frame normals;
+    shadow_unit/(G, Ks, 3), shadow_inside (G, Ks) — only for 15 channels.
+    Returns (G, size, size, num_channels) uint8.
+    """
+    size = image.size
+    G = unit.shape[0]
+    absn = jnp.abs(nrm_hand)
+
+    n_proj = 3 if num_channels in (12, 15) else 1
+    per = {1: 1, 3: 3, 12: 4, 15: 5}[num_channels]
+    chans = []
+    for pi in range(n_proj):
+        p = _PROJECTIONS[pi]
+        c0, c1, c2 = unit[..., p[0]], unit[..., p[1]], unit[..., p[2]]
+        cell = _cells(c0, c1, size)
+
+        if num_channels in (3, 12, 15):
+            nimg, _ = _scatter_mean(cell, inside, absn, G, size)
+            nimg = nimg.reshape(G, size, size, 3)
+            nimg = _dilate3(nimg)
+            chans.append(_minmax_u8(nimg, joint_axes=(1, 2, 3)))
+
+        if num_channels in (1, 12, 15):
+            dmean, dcnt = _scatter_mean(cell, inside, c2[..., None], G, size)
+            dimg = jnp.where(dcnt[..., None] > 0, 1.0 - dmean, 0.0)
+            dimg = dimg.reshape(G, size, size, 1)
+            dimg = _dilate3(dimg)
+            chans.append(_minmax_u8(dimg, joint_axes=(1, 2, 3)))
+
+        if num_channels == 15:
+            s0, s1, s2 = (shadow_unit[..., p[0]], shadow_unit[..., p[1]],
+                          shadow_unit[..., p[2]])
+            scell = _cells(s0, s1, size)
+            smean, scnt = _scatter_mean(scell, shadow_inside, s2[..., None],
+                                        G, size)
+            nonzero = scnt > 0
+            mx = jnp.max(jnp.where(nonzero, smean[..., 0], -jnp.inf),
+                         axis=1, keepdims=True)
+            mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+            simg = jnp.where(nonzero, mx - smean[..., 0], 0.0)
+            simg = simg.reshape(G, size, size, 1)
+            simg = _dilate3(simg)
+            chans.append(_minmax_u8(simg, joint_axes=(1, 2, 3)))
+
+    return jnp.concatenate(chans, axis=-1)
+
+
+def make_images(nn_pts, nn_nrm, nn_valid, hand_R, hand_sample, hand_bottom,
+                hand_center, hand_valid, image: ImageGeometry,
+                shadow_pts: Optional[jax.Array] = None,
+                shadow_valid: Optional[jax.Array] = None) -> jax.Array:
+    """Create grasp images for a flat batch of hands.
+
+    Args:
+      nn_pts/nn_nrm/nn_valid: (G, K, ...) per-hand world-frame neighborhoods
+        (a hand's neighborhood is its sample's image-radius neighborhood,
+        image_generator.cpp:42-64).
+      hand_R: (G, 3, 3); hand_sample: (G, 3); hand_bottom/center: (G,).
+      shadow_pts/shadow_valid: (G, Ks, 3)/(G, Ks) world-frame occluded points
+        (required for 15 channels).
+
+    Returns (G, size, size, num_channels) uint8.
+    """
+    rel = nn_pts - hand_sample[:, None, :]
+    pts_hand = jnp.einsum("gkj,gji->gki", rel, hand_R)
+    nrm_hand = jnp.einsum("gkj,gji->gki", nn_nrm, hand_R)
+    unit, ins = _unit_transform(pts_hand, hand_bottom, hand_center, image)
+    ins = ins & nn_valid & hand_valid[:, None]
+
+    if image.num_channels == 15:
+        srel = shadow_pts - hand_sample[:, None, :]
+        sh = jnp.einsum("gkj,gji->gki", srel, hand_R)
+        sunit, sins = _unit_transform(sh, hand_bottom, hand_center, image)
+        sins = sins & shadow_valid & hand_valid[:, None]
+    else:
+        sunit = jnp.zeros((unit.shape[0], 1, 3), unit.dtype)
+        sins = jnp.zeros((unit.shape[0], 1), bool)
+
+    return _raster_kernel(unit, ins, nrm_hand, sunit, sins, image,
+                          image.num_channels)

@@ -1,0 +1,106 @@
+"""Surface-normal estimation.
+
+TPU-native equivalent of the reference's per-view-point PCL
+``NormalEstimationOMP`` (reference: src/gpd/util/cloud.cpp:497-535) plus the
+``reverseNormals`` pass (cloud.cpp:573-604): one batched kernel — neighbor
+search via MXU distance matmul, covariance accumulation, closed-form 3x3
+eigendecomposition, viewpoint orientation — instead of kd-tree queries in
+OpenMP threads.
+
+Semantics notes:
+  - PCL computes each point's covariance over ALL cloud points within
+    ``radius`` (the per-camera index list only selects which points get
+    normals, not the search set); here every masked point gets a normal in
+    one pass.
+  - Viewpoint orientation uses the highest-index camera seeing the point
+    (the reference's per-camera loop overwrites, so the last camera wins).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gpd_tpu.core.types import CloudArrays
+from gpd_tpu.ops.eigh3 import eigh3_sym
+from gpd_tpu.ops.neighbors import radius_neighbors
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _normals_kernel(points, mask, cam_source, view_points, radius, k: int):
+    idx, valid = radius_neighbors(points, mask, points, mask,
+                                  radius=radius, k=k)
+    nn = points[idx]                                    # (N, K, 3)
+    w = valid.astype(points.dtype)
+    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    mean = jnp.sum(nn * w[..., None], axis=1) / cnt[:, None]
+    d = (nn - mean[:, None, :]) * w[..., None]
+    cov = jnp.einsum("nki,nkj->nij", d, d) / cnt[:, None, None]
+    _, V = eigh3_sym(cov)
+    normal = V[..., :, 0]                               # smallest eigenvalue
+
+    # Orient toward the viewpoint of the highest-index camera seeing the
+    # point (flipNormalTowardsViewpoint; overwrite order cloud.cpp:511-534).
+    ncams = view_points.shape[0]
+    cam_ids = jnp.arange(ncams, dtype=jnp.uint32)
+    seen = (cam_source[:, None] >> cam_ids[None, :]) & 1  # (N, V)
+    last_cam = jnp.where(
+        jnp.any(seen > 0, axis=1),
+        (ncams - 1) - jnp.argmax(jnp.flip(seen, axis=1) > 0, axis=1),
+        0)
+    vp = view_points[last_cam]                          # (N, 3)
+    to_vp = vp - points
+    flip = jnp.sum(normal * to_vp, axis=1) < 0.0
+    normal = jnp.where(flip[:, None], -normal, normal)
+
+    has_nbr = jnp.any(valid, axis=1)
+    normal = jnp.where((mask & has_nbr)[:, None], normal, 0.0)
+    return normal
+
+
+def estimate_normals(cloud: CloudArrays, radius: float, k: int = 128) -> CloudArrays:
+    """Estimate + orient normals for every masked point."""
+    normals = _normals_kernel(cloud.points, cloud.mask, cloud.cam_source,
+                              cloud.view_points, jnp.float32(radius), k)
+    return CloudArrays(points=cloud.points, normals=normals,
+                       cam_source=cloud.cam_source, mask=cloud.mask,
+                       view_points=cloud.view_points)
+
+
+@jax.jit
+def reverse_normals(points, normals, mask, cam_source, view_points):
+    """Flip normals that point away from every camera that sees them
+    (reference: cloud.cpp:573-604)."""
+    ncams = view_points.shape[0]
+    cam_ids = jnp.arange(ncams, dtype=jnp.uint32)
+    seen = ((cam_source[:, None] >> cam_ids[None, :]) & 1) > 0  # (N, V)
+    cam_to_pt = points[:, None, :] - view_points[None, :, :]    # (N, V, 3)
+    toward = jnp.sum(normals[:, None, :] * cam_to_pt, axis=-1) < 0.0
+    ok = jnp.any(seen & toward, axis=1)
+    needs_reverse = mask & ~ok
+    return jnp.where(needs_reverse[:, None], -normals, normals)
+
+
+def reverse_normals_cloud(cloud: CloudArrays) -> CloudArrays:
+    normals = reverse_normals(cloud.points, cloud.normals, cloud.mask,
+                              cloud.cam_source, cloud.view_points)
+    return CloudArrays(points=cloud.points, normals=normals,
+                       cam_source=cloud.cam_source, mask=cloud.mask,
+                       view_points=cloud.view_points)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def refine_normals(points, normals, mask, k: int = 10):
+    """Normal refinement analogous to pcl::NormalRefinement
+    (reference: cloud.cpp:176-204): one smoothing iteration averaging each
+    normal with its k nearest neighbors' normals (sign-aligned)."""
+    idx, valid = radius_neighbors(points, mask, points, mask, radius=1e5, k=k)
+    nn = normals[idx]
+    sign = jnp.where(jnp.sum(nn * normals[:, None, :], axis=-1) < 0, -1.0, 1.0)
+    nn = nn * sign[..., None] * valid[..., None]
+    avg = jnp.sum(nn, axis=1)
+    nrm = jnp.linalg.norm(avg, axis=1, keepdims=True)
+    out = jnp.where(nrm > 1e-9, avg / jnp.maximum(nrm, 1e-9), normals)
+    return jnp.where(mask[:, None], out, normals)

@@ -1,0 +1,98 @@
+"""Multi-device / multi-host parallel detection.
+
+The reference is a single-process OpenMP program (SURVEY.md §2 parallelism
+inventory); the TPU framework's two first-class axes are:
+
+  - **candidate parallelism** (the "sequence parallel" analog): a cloud's
+    sample axis sharded across devices with ``shard_map``; the cloud is
+    replicated; each device runs the full detection core on its sample
+    shard; survivors are all-gathered for global selection/clustering.
+  - **data parallelism**: classifier training batches and data-generation
+    (object, view) work items sharded across devices/hosts.
+
+Collectives ride ICI via XLA (`all_gather` of surviving grasp sets, global
+top-k after gather, `psum` for CEM sufficient statistics) — there is no
+hand-written communication.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gpd_tpu.config import DetectorConfig
+from gpd_tpu.core.types import CloudArrays, Grasps
+from gpd_tpu.detector import detect_core, select_and_cluster
+
+
+def default_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    import numpy as np
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_samples(mesh: Mesh, sample_pos, sample_mask, axis: str = "dp"):
+    """Place samples sharded over the mesh; pads to a multiple of the axis."""
+    n = mesh.shape[axis]
+    s = sample_pos.shape[0]
+    pad = (-s) % n
+    if pad:
+        sample_pos = jnp.pad(sample_pos, ((0, pad), (0, 0)),
+                             constant_values=1e6)
+        sample_mask = jnp.pad(sample_mask, (0, pad))
+    sharding = NamedSharding(mesh, P(axis))
+    return (jax.device_put(sample_pos, sharding),
+            jax.device_put(sample_mask, sharding))
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "image_cap", "mesh",
+                                             "axis"))
+def sharded_detect(cloud: CloudArrays, sample_pos, sample_mask, params,
+                   key, cfg: DetectorConfig, image_cap: int, mesh: Mesh,
+                   axis: str = "dp") -> Grasps:
+    """Candidate-parallel detection: sample axis sharded, cloud replicated.
+
+    Each device evaluates its shard with the full single-chip kernel, then
+    the surviving grasp batches concatenate along the sharded axis (an XLA
+    all-gather when the result is consumed replicated) and global
+    selection/clustering runs on the merged set.
+    """
+    def local(cloud_l, spos_l, smask_l, params_l, key_l):
+        me = jax.lax.axis_index(axis)
+        g, _ = detect_core(cloud_l, spos_l, smask_l, params_l,
+                           jax.random.fold_in(key_l, me), cfg, image_cap)
+        return g
+
+    gshard = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )(cloud, sample_pos, sample_mask, params, key)
+
+    return select_and_cluster(gshard, cfg)
+
+
+def sharded_detect_host(detector, cloud: CloudArrays, sample_pos, sample_mask,
+                        key=None, mesh: Optional[Mesh] = None) -> Grasps:
+    """Convenience wrapper: build mesh, place data, run sharded_detect."""
+    mesh = mesh or default_mesh()
+    key = key if key is not None else jax.random.PRNGKey(0)
+    spos, smask = shard_samples(mesh, sample_pos, sample_mask)
+    cloud_r = replicate(mesh, cloud)
+    params_r = replicate(mesh, detector.params)
+    n_per_dev = spos.shape[0] // mesh.shape["dp"]
+    cap = detector.image_cap(n_per_dev)
+    return sharded_detect(cloud_r, spos, smask, params_r, key,
+                          detector.cfg, cap, mesh)
