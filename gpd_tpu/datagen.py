@@ -1,0 +1,232 @@
+"""Training-data generation.
+
+TPU-native equivalent of the reference's ``DataGenerator``
+(reference: src/gpd/data_generator.cpp): per (object, view) pair —
+candidates + grasp images from the view cloud, ground-truth antipodal labels
+by re-evaluating each candidate against the object's full mesh cloud,
+50/50 positive/negative balancing, chunked HDF5 output in the reference's
+dataset format ('images' (N, s, s, C) uint8 + 'labels' (N, 1) uint8,
+data_generator.cpp:279-304).
+
+Fault tolerance (absent in the reference, SURVEY.md §5): progress is
+journaled per (object, view) so an interrupted run resumes where it left
+off; rows are written at running offsets exactly like the reference's
+insertIntoHDF5 (data_generator.cpp:460-).
+
+Multi-host: shard the (object, view) work-list round-robin by process index
+(`jax.process_index()`), each host writing its own shard file.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from gpd_tpu.config import ConfigFile, DetectorConfig
+from gpd_tpu.core.types import CloudArrays
+from gpd_tpu.detector import GraspDetector, detect_core
+from gpd_tpu.ops import candidates as cand
+from gpd_tpu import select as sel
+
+
+@dataclasses.dataclass
+class DataGenConfig:
+    """Parameters from cfg/generate_data.cfg (data_generator.cpp:10-71)."""
+
+    data_root: str = ""
+    objects_file: str = ""
+    output_root: str = "."
+    num_views_per_object: int = 20
+    min_grasps_per_view: int = 100
+    max_grasps_per_view: int = 500
+    test_views: Sequence[int] = (2, 5, 8, 13, 16)
+    chunk_size: int = 1000
+    num_samples: int = 500
+
+    @staticmethod
+    def from_file(path: str) -> "DataGenConfig":
+        cfg = ConfigFile(path)
+        return DataGenConfig(
+            data_root=cfg.get_str("data_root", ""),
+            objects_file=cfg.get_str("objects_file_location", ""),
+            output_root=cfg.get_str("output_root", "."),
+            num_views_per_object=cfg.get_int("num_views_per_object", 20),
+            min_grasps_per_view=cfg.get_int("min_grasps_per_view", 100),
+            max_grasps_per_view=cfg.get_int("max_grasps_per_view", 500),
+            test_views=tuple(cfg.get_int_list("test_views", "2 5 8 13 16")),
+            chunk_size=cfg.get_int("chunk_size", 1000),
+            num_samples=cfg.get_int("num_samples", 500),
+        )
+
+
+def balance_instances(max_count: int, positives: np.ndarray,
+                      negatives: np.ndarray,
+                      rng: np.random.Generator) -> np.ndarray:
+    """50/50 class balancing capped at max_count
+    (data_generator.cpp:406-430 balanceInstances): keeps
+    min(#pos, #neg, max_count) of each class."""
+    n = min(len(positives), len(negatives), max_count)
+    pos = rng.permutation(positives)[:n]
+    neg = rng.permutation(negatives)[:n]
+    return np.concatenate([pos, neg])
+
+
+class HDF5ShardWriter:
+    """Chunked HDF5 writer in the reference's dataset layout with an offset
+    journal for resume (replaces createDatasetsHDF5/insertIntoHDF5/
+    reshapeHDF5, data_generator.cpp:279-347,460-)."""
+
+    def __init__(self, path: str, image_size: int, channels: int,
+                 chunk_size: int = 1000):
+        import h5py
+        self.path = path
+        self.journal_path = path + ".journal"
+        self.h5 = h5py.File(path, "a")
+        shape = (image_size, image_size, channels)
+        if "images" not in self.h5:
+            self.h5.create_dataset(
+                "images", shape=(0,) + shape, maxshape=(None,) + shape,
+                dtype=np.uint8, chunks=(chunk_size,) + shape)
+            self.h5.create_dataset(
+                "labels", shape=(0, 1), maxshape=(None, 1), dtype=np.uint8,
+                chunks=(chunk_size, 1))
+        self.done = set()
+        if os.path.exists(self.journal_path):
+            with open(self.journal_path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    self.done.add((rec["obj"], rec["view"]))
+                    # Truncate any partial write past the journaled offset.
+            last_offset = max((rec["end"] for rec in map(
+                json.loads, open(self.journal_path))), default=0)
+            if self.h5["labels"].shape[0] > last_offset:
+                self.h5["images"].resize(last_offset, axis=0)
+                self.h5["labels"].resize(last_offset, axis=0)
+
+    def is_done(self, obj: str, view: int) -> bool:
+        return (obj, view) in self.done
+
+    def append(self, obj: str, view: int, images: np.ndarray,
+               labels: np.ndarray) -> None:
+        n0 = self.h5["labels"].shape[0]
+        n1 = n0 + len(labels)
+        self.h5["images"].resize(n1, axis=0)
+        self.h5["labels"].resize(n1, axis=0)
+        self.h5["images"][n0:n1] = images
+        self.h5["labels"][n0:n1] = labels.reshape(-1, 1).astype(np.uint8)
+        self.h5.flush()
+        with open(self.journal_path, "a") as f:
+            f.write(json.dumps({"obj": obj, "view": view,
+                                "start": n0, "end": n1}) + "\n")
+        self.done.add((obj, view))
+
+    def shuffle_in_place(self, seed: int = 0) -> None:
+        """Final shuffle (replaces shuffle_hdf5.py)."""
+        n = self.h5["labels"].shape[0]
+        perm = np.random.default_rng(seed).permutation(n)
+        images = self.h5["images"][:][perm]
+        labels = self.h5["labels"][:][perm]
+        self.h5["images"][:] = images
+        self.h5["labels"][:] = labels
+        self.h5.flush()
+
+    def close(self):
+        self.h5.close()
+
+
+class DataGenerator:
+    """Per-(object, view) labeled grasp-image generation
+    (data_generator.cpp:73-277 generateData)."""
+
+    def __init__(self, detector: GraspDetector, gen_cfg: DataGenConfig):
+        self.detector = detector
+        self.gen = gen_cfg
+
+    def generate_view(self, view_cloud: CloudArrays, mesh_cloud: CloudArrays,
+                      key: jax.Array,
+                      rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
+        """One (object, view) unit: candidates + images from the view cloud,
+        ground-truth labels from the mesh cloud, balanced 50/50.
+        Returns (images (N, s, s, C) uint8, labels (N,) uint8)."""
+        det = self.detector
+        cfg = det.cfg
+        min_pos = self.gen.min_grasps_per_view
+        images_all: List[np.ndarray] = []
+        labels_all: List[np.ndarray] = []
+        n_pos = 0
+        # Loop until enough positives, like data_generator.cpp:140-193.
+        for attempt in range(8):
+            k = jax.random.fold_in(key, attempt)
+            spos, smask = det.sample_cloud(view_cloud, k)
+            cap = det.image_cap(spos.shape[0])
+            grasps, imgs = detect_core(view_cloud, spos, smask, det.params,
+                                       k, cfg, cap)
+            labels, _ = cand.reevaluate_hypotheses(mesh_cloud, grasps, cfg)
+            valid = np.asarray(grasps.valid)
+            labels = np.asarray(labels)[valid]
+            imgs = np.asarray(imgs)[valid]
+            images_all.append(imgs)
+            labels_all.append(labels)
+            n_pos += int(labels.sum())
+            if n_pos >= min_pos:
+                break
+        images = np.concatenate(images_all)
+        labels = np.concatenate(labels_all)
+        pos_idx = np.nonzero(labels == 1)[0]
+        neg_idx = np.nonzero(labels == 0)[0]
+        keep = balance_instances(self.gen.max_grasps_per_view, pos_idx,
+                                 neg_idx, rng)
+        keep = rng.permutation(keep)
+        return images[keep], labels[keep]
+
+    def generate(self, items: Sequence[Tuple[str, int, CloudArrays, CloudArrays]],
+                 writer_train: HDF5ShardWriter,
+                 writer_test: Optional[HDF5ShardWriter] = None,
+                 seed: int = 0,
+                 process_index: int = 0, process_count: int = 1) -> None:
+        """Drive generation over a work-list of (object_name, view_id,
+        view_cloud, mesh_cloud); shards round-robin across hosts and resumes
+        from the journal."""
+        rng = np.random.default_rng(seed + process_index)
+        t0 = time.time()
+        n_done = 0
+        for i, (obj, view, vc, mc) in enumerate(items):
+            if i % process_count != process_index:
+                continue
+            is_test = view in self.gen.test_views
+            writer = writer_test if (is_test and writer_test) else writer_train
+            if writer.is_done(obj, view):
+                continue
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), hash((obj, view)) & 0x7FFFFFFF)
+            images, labels = self.generate_view(vc, mc, key, rng)
+            writer.append(obj, view, images, labels)
+            n_done += 1
+            dt = time.time() - t0
+            print(f"[{obj}:{view}] {len(labels)} instances "
+                  f"({int(labels.sum())} pos), {dt/max(n_done,1):.1f}s/view")
+
+
+def multiview_transform(pose_cam: np.ndarray, pose_table: np.ndarray) -> np.ndarray:
+    """Compose the per-view camera->table transform used for BigBIRD
+    multi-view fusion (data_generator.cpp:617-689 createMultiViewCloud /
+    calculateTransform): T = T_table^-1 @ T_cam."""
+    return np.linalg.inv(pose_table) @ pose_cam
+
+
+def fuse_views(clouds: Sequence[np.ndarray],
+               transforms: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+    """Transform per-view clouds into a common frame and concatenate, with a
+    block camera-source bitmask (data_generator.cpp:617-665)."""
+    pts_out = []
+    cam_out = []
+    for k, (pts, T) in enumerate(zip(clouds, transforms)):
+        hom = np.concatenate([pts, np.ones((len(pts), 1), pts.dtype)], 1)
+        pts_out.append((hom @ T.T)[:, :3])
+        cam_out.append(np.full(len(pts), 1 << k, np.uint32))
+    return np.concatenate(pts_out), np.concatenate(cam_out)

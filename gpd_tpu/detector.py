@@ -212,13 +212,23 @@ class GraspDetector:
         total = num_samples * cfg.num_orientations * len(cfg.hand_axes)
         return min(_next_size(total, 256), 4096)
 
+    def effective_config(self, cloud: CloudArrays) -> DetectorConfig:
+        """Clamp the neighbor cap to the cloud size: truncated neighborhoods
+        would silently drop collision points (the reference's kd-tree search
+        is uncapped), so K must cover the densest plausible neighborhood."""
+        n = int(np.asarray(cloud.count()))
+        cap = min(self.cfg.search_neighbors_cap, _next_size(n, 256))
+        if cap != self.cfg.search_neighbors_cap:
+            return dataclasses.replace(self.cfg, search_neighbors_cap=cap)
+        return self.cfg
+
     def detect(self, cloud: CloudArrays,
                sample_pos: Optional[jax.Array] = None,
                sample_mask: Optional[jax.Array] = None,
                key: Optional[jax.Array] = None,
                verbose: bool = True) -> Grasps:
         """Full detectGrasps pipeline with per-stage timing."""
-        cfg = self.cfg
+        cfg = self.effective_config(cloud)
         key = key if key is not None else jax.random.PRNGKey(0)
         t0 = time.time()
         if sample_pos is None:

@@ -169,9 +169,9 @@ def _eval_orientation(rel, nrm, nvalid, frames, rfix, p: SearchParams):
     nvalid: (S, K); frames: (S, 3, 3); rfix: (3, 3) static rotation.
     Implements hand_set.cpp:49-116 + finger_hand.cpp + antipodal labeling.
     """
-    R = jnp.einsum("sij,jk->sik", frames, rfix)          # (S, 3, 3)
-    pts = jnp.einsum("skj,sji->ski", rel, R)             # hand-frame points
-    nh = jnp.einsum("skj,sji->ski", nrm, R)              # hand-frame normals
+    R = jnp.einsum("sij,jk->sik", frames, rfix, precision=jax.lax.Precision.HIGHEST)  # (S, 3, 3)
+    pts = jnp.einsum("skj,sji->ski", rel, R, precision=jax.lax.Precision.HIGHEST)  # hand-frame points
+    nh = jnp.einsum("skj,sji->ski", nrm, R, precision=jax.lax.Precision.HIGHEST)  # hand-frame normals
     x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
     ny = nh[..., 1]
 
@@ -231,7 +231,7 @@ def _eval_orientation(rel, nrm, nvalid, frames, rfix, p: SearchParams):
     # Hand pose (hand.cpp:41-45): position = frame * [bottom, center, 0]^T + s.
     pos_local = jnp.stack(
         [bottom, center, jnp.zeros_like(bottom)], axis=-1)   # (S, 3)
-    pos_world = jnp.einsum("sij,sj->si", R, pos_local)
+    pos_world = jnp.einsum("sij,sj->si", R, pos_local, precision=jax.lax.Precision.HIGHEST)
 
     return dict(R=R, pos=pos_world, top=top, bottom=bottom, center=center,
                 width=width, mid=mid, valid=valid,
@@ -318,8 +318,8 @@ def _reevaluate_kernel(points, normals, pmask, g_sample, g_R, g_top, g_mid,
                                    radius=radius, k=k)
     rel = points[idx] - g_sample[:, None, :]
     nrm = normals[idx]
-    pts = jnp.einsum("gkj,gji->gki", rel, g_R)
-    nh = jnp.einsum("gkj,gji->gki", nrm, g_R)
+    pts = jnp.einsum("gkj,gji->gki", rel, g_R, precision=jax.lax.Precision.HIGHEST)
+    nh = jnp.einsum("gkj,gji->gki", nrm, g_R, precision=jax.lax.Precision.HIGHEST)
     x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
     ny = nh[..., 1]
     hcrop = nvalid & (z > -params.hand_height) & (z < params.hand_height)

@@ -41,7 +41,7 @@ def estimate_frames(sample_pos: jax.Array, sample_mask: jax.Array,
     nn = normals[idx]                                   # (S, K, 3)
     w = nvalid.astype(normals.dtype)
     nnw = nn * w[..., None]
-    M = jnp.einsum("ski,skj->sij", nnw, nn * 1.0)       # sum n n^T over valid
+    M = jnp.einsum("ski,skj->sij", nnw, nn, precision=jax.lax.Precision.HIGHEST)  # sum n n^T
     # (w applied once is enough: nnw x nn counts valid rows, invalid rows zero)
     _, V = eigh3_sym(M)
     curvature = V[..., :, 0]                            # min eigenvalue

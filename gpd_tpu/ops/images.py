@@ -102,6 +102,7 @@ def compute_shadows(key, nn_pts, nn_valid, nn_cam, view_points,
         valid = valid & jnp.where(cam_seen[:, c:c + 1], member, True)
 
     # Compact unique voxels to the front, cap at v_cap.
+    v_cap = min(v_cap, K * n_sp)
     order = jnp.argsort(~valid, axis=1, stable=True)
     cam0c = jnp.take_along_axis(cam0, order[:, :v_cap], axis=1)
     validc = jnp.take_along_axis(valid, order[:, :v_cap], axis=1)
@@ -260,14 +261,14 @@ def make_images(nn_pts, nn_nrm, nn_valid, hand_R, hand_sample, hand_bottom,
     Returns (G, size, size, num_channels) uint8.
     """
     rel = nn_pts - hand_sample[:, None, :]
-    pts_hand = jnp.einsum("gkj,gji->gki", rel, hand_R)
-    nrm_hand = jnp.einsum("gkj,gji->gki", nn_nrm, hand_R)
+    pts_hand = jnp.einsum("gkj,gji->gki", rel, hand_R, precision=jax.lax.Precision.HIGHEST)
+    nrm_hand = jnp.einsum("gkj,gji->gki", nn_nrm, hand_R, precision=jax.lax.Precision.HIGHEST)
     unit, ins = _unit_transform(pts_hand, hand_bottom, hand_center, image)
     ins = ins & nn_valid & hand_valid[:, None]
 
     if image.num_channels == 15:
         srel = shadow_pts - hand_sample[:, None, :]
-        sh = jnp.einsum("gkj,gji->gki", srel, hand_R)
+        sh = jnp.einsum("gkj,gji->gki", srel, hand_R, precision=jax.lax.Precision.HIGHEST)
         sunit, sins = _unit_transform(sh, hand_bottom, hand_center, image)
         sins = sins & shadow_valid & hand_valid[:, None]
     else:

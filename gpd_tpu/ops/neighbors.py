@@ -30,7 +30,8 @@ def _block_topk(qpos, qmask, points, pmask, k: int):
     """One block: (B,3) queries vs (N,3) points -> (B,k) idx + dist2."""
     p2 = jnp.sum(points * points, axis=1)                      # (N,)
     q2 = jnp.sum(qpos * qpos, axis=1)                          # (B,)
-    cross = qpos @ points.T                                    # (B,N)  MXU
+    cross = jnp.matmul(qpos, points.T,
+                       precision=jax.lax.Precision.HIGHEST)  # (B,N)
     d2 = q2[:, None] + p2[None, :] - 2.0 * cross
     d2 = jnp.where(pmask[None, :], d2, _BIG)
     d2 = jnp.where(qmask[:, None], d2, _BIG)
@@ -59,6 +60,8 @@ def radius_neighbors(query: jax.Array, query_mask: jax.Array,
       ascending, and (Q, k) bool marking entries within radius.
     """
     q = query.shape[0]
+    n = points.shape[0]
+    k_eff = min(k, n)
     r2 = jnp.float32(radius) ** 2
     nblk = -(-q // block)
     pad_q = nblk * block - q
@@ -70,12 +73,15 @@ def radius_neighbors(query: jax.Array, query_mask: jax.Array,
 
     def body(carry, blk):
         bq, bm = blk
-        idx, d2 = _block_topk(bq, bm, points, points_mask, k)
+        idx, d2 = _block_topk(bq, bm, points, points_mask, k_eff)
         return carry, (idx, d2)
 
     _, (idx, d2) = jax.lax.scan(body, None, (qpos, qm))
-    idx = idx.reshape(nblk * block, k)[:q]
-    d2 = d2.reshape(nblk * block, k)[:q]
+    idx = idx.reshape(nblk * block, k_eff)[:q]
+    d2 = d2.reshape(nblk * block, k_eff)[:q]
+    if k_eff < k:
+        idx = jnp.pad(idx, ((0, 0), (0, k - k_eff)))
+        d2 = jnp.pad(d2, ((0, 0), (0, k - k_eff)), constant_values=_BIG)
     valid = (d2 <= r2) & query_mask[:, None]
     return idx, valid
 

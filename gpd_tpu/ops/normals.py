@@ -37,7 +37,7 @@ def _normals_kernel(points, mask, cam_source, view_points, radius, k: int):
     cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
     mean = jnp.sum(nn * w[..., None], axis=1) / cnt[:, None]
     d = (nn - mean[:, None, :]) * w[..., None]
-    cov = jnp.einsum("nki,nkj->nij", d, d) / cnt[:, None, None]
+    cov = jnp.einsum("nki,nkj->nij", d, d, precision=jax.lax.Precision.HIGHEST) / cnt[:, None, None]
     _, V = eigh3_sym(cov)
     normal = V[..., :, 0]                               # smallest eigenvalue
 

@@ -147,7 +147,9 @@ def fit_plane_ransac(points: jax.Array, mask: jax.Array, key: jax.Array,
     nvec = nvec / jnp.maximum(nlen, 1e-12)
     d = -jnp.sum(nvec * p0, axis=1)
     # (num_iters, n) distances
-    dist = jnp.abs(points @ nvec.T + d[None, :]).T
+    dist = jnp.abs(jnp.matmul(points, nvec.T,
+                          precision=jax.lax.Precision.HIGHEST)
+               + d[None, :]).T
     inl = (dist <= dist_thresh) & mask[None, :]
     scores = jnp.sum(inl, axis=1)
     degenerate = nlen[:, 0] < 1e-9

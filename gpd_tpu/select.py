@@ -81,11 +81,11 @@ def _cluster_kernel(pos, axis, score, valid, min_inliers: int,
     MAX_DIST = 0.05
     PROJ_DIST = 0.005
 
-    aligned = jnp.abs(jnp.einsum("id,jd->ij", axis, axis)) > cos_thresh
+    aligned = jnp.abs(jnp.einsum("id,jd->ij", axis, axis, precision=jax.lax.Precision.HIGHEST)) > cos_thresh
     delta = pos[:, None, :] - pos[None, :, :]                 # (G, G, 3)
     dist_ok = jnp.linalg.norm(delta, axis=-1) <= MAX_DIST
     proj = delta - axis[:, None, :] * \
-        jnp.einsum("id,ijd->ij", axis, delta)[..., None]
+        jnp.einsum("id,ijd->ij", axis, delta, precision=jax.lax.Precision.HIGHEST)[..., None]
     proj_ok = jnp.linalg.norm(proj, axis=-1) <= PROJ_DIST
     pair = aligned & dist_ok & proj_ok & valid[:, None] & valid[None, :]
     pair = pair & ~jnp.eye(G, dtype=bool)

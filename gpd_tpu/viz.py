@@ -1,0 +1,130 @@
+"""Visualization — host-side, optional.
+
+Equivalent of the reference's ``util::Plot`` PCLVisualizer wrappers
+(reference: src/gpd/util/plot.cpp): headless-friendly matplotlib renders and
+PLY dumps instead of an interactive VTK window. Not performance-critical.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def save_cloud_ply(path: str, points: np.ndarray,
+                   normals: Optional[np.ndarray] = None,
+                   colors: Optional[np.ndarray] = None) -> None:
+    """Dump a cloud (+normals/colors) as ascii PLY for external viewers."""
+    points = np.asarray(points, np.float32)
+    n = len(points)
+    props = ["property float x", "property float y", "property float z"]
+    cols = [points]
+    if normals is not None:
+        props += ["property float nx", "property float ny", "property float nz"]
+        cols.append(np.asarray(normals, np.float32))
+    if colors is not None:
+        props += ["property uchar red", "property uchar green",
+                  "property uchar blue"]
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n"
+                f"element vertex {n}\n" + "\n".join(props) + "\nend_header\n")
+        data = np.concatenate(cols, axis=1)
+        for i in range(n):
+            row = " ".join(f"{v:.6f}" for v in data[i])
+            if colors is not None:
+                c = np.asarray(colors[i], int)
+                row += f" {c[0]} {c[1]} {c[2]}"
+            f.write(row + "\n")
+
+
+def hand_segments(position: np.ndarray, R: np.ndarray,
+                  outer_diameter: float = 0.12, depth: float = 0.06,
+                  finger_width: float = 0.01) -> np.ndarray:
+    """Line segments sketching a 2-finger hand (like plotFingers3D,
+    plot.cpp:174-371): base bar + two fingers + approach stub.
+    Returns (4, 2, 3) segment endpoints."""
+    approach, binormal = R[:, 0], R[:, 1]
+    half = 0.5 * (outer_diameter - finger_width)
+    left_base = position + half * binormal
+    right_base = position - half * binormal
+    return np.array([
+        [left_base, right_base],                          # base bar
+        [left_base, left_base + depth * approach],        # left finger
+        [right_base, right_base + depth * approach],      # right finger
+        [position, position - 0.04 * approach],           # approach stub
+    ])
+
+
+def plot_grasps(points: np.ndarray, grasps: Sequence[dict],
+                path: Optional[str] = None, max_grasps: int = 20,
+                hand_geometry=None):
+    """Matplotlib 3D render of cloud + hands (plotFingers3D equivalent)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(projection="3d")
+    pts = np.asarray(points)
+    step = max(1, len(pts) // 5000)
+    ax.scatter(pts[::step, 0], pts[::step, 1], pts[::step, 2], s=1,
+               c="gray", alpha=0.5)
+    od, dp, fw = 0.12, 0.06, 0.01
+    if hand_geometry is not None:
+        od, dp, fw = (hand_geometry.outer_diameter, hand_geometry.depth,
+                      hand_geometry.finger_width)
+    for g in list(grasps)[:max_grasps]:
+        segs = hand_segments(np.asarray(g["position"]),
+                             np.asarray(g["orientation"]), od, dp, fw)
+        for a, b in segs:
+            ax.plot([a[0], b[0]], [a[1], b[1]], [a[2], b[2]], c="tab:blue")
+    ax.set_box_aspect((1, 1, 1))
+    if path:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
+def plot_normals(points: np.ndarray, normals: np.ndarray,
+                 path: Optional[str] = None, stride: int = 20):
+    """Quiver render of surface normals (plotNormals, plot.cpp:498-668)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(projection="3d")
+    p = np.asarray(points)[::stride]
+    n = np.asarray(normals)[::stride]
+    ax.quiver(p[:, 0], p[:, 1], p[:, 2], n[:, 0], n[:, 1], n[:, 2],
+              length=0.01, normalize=True, linewidth=0.5)
+    if path:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
+def grasp_image_grid(image: np.ndarray, path: Optional[str] = None):
+    """Render a multi-channel grasp image as a grid (the showImage debug
+    view, image_15_channels_strategy.cpp:107-141)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    image = np.asarray(image)
+    c = image.shape[-1]
+    cols = min(c, 5)
+    rows = -(-c // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(2 * cols, 2 * rows))
+    axes = np.atleast_2d(axes)
+    for i in range(rows * cols):
+        ax = axes[i // cols, i % cols]
+        ax.axis("off")
+        if i < c:
+            ax.imshow(image[:, :, i], cmap="gray", vmin=0, vmax=255)
+            ax.set_title(f"ch {i}", fontsize=8)
+    if path:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    return fig

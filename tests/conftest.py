@@ -2,12 +2,22 @@
 run without TPU hardware, per the multi-host test strategy (SURVEY.md §4)."""
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: tests need the 8-device virtual mesh and deterministic f32
+# matmuls. The TPU harness may preselect its backend via env/sitecustomize
+# before conftest runs, so override through the jax config (effective until
+# the first backend initialization).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,70 @@
+"""CEM (sequential importance sampling) tests."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gpd_tpu.cem import (SequentialImportanceSampling, draw_max_of_gaussians,
+                         draw_sum_of_gaussians, draw_uniform_cloud_samples)
+from gpd_tpu.config import CEMConfig, DetectorConfig
+from gpd_tpu.core.types import CloudArrays
+from gpd_tpu.detector import GraspDetector
+
+
+def cylinder_cloud(rng, n=1500):
+    theta = rng.uniform(0, 2 * np.pi, n)
+    pts = np.stack([0.03 * np.cos(theta), 0.03 * np.sin(theta),
+                    rng.uniform(-0.05, 0.05, n)], 1).astype(np.float32)
+    nrm = np.stack([np.cos(theta), np.sin(theta), np.zeros(n)],
+                   1).astype(np.float32)
+    return pts, nrm
+
+
+class TestSampling:
+    def test_sum_of_gaussians(self, rng):
+        centers = jnp.asarray(rng.normal(size=(20, 3)).astype(np.float32))
+        mask = jnp.ones(20, bool)
+        s = draw_sum_of_gaussians(jax.random.PRNGKey(0), centers, mask,
+                                  0.02, 100)
+        s = np.asarray(s)
+        assert s.shape == (100, 3)
+        # Every draw within a few sigma of some center.
+        d = np.linalg.norm(s[:, None] - np.asarray(centers)[None], axis=-1)
+        assert (d.min(1) < 0.02 * 5).all()
+
+    def test_max_of_gaussians(self, rng):
+        centers = jnp.asarray(rng.normal(size=(10, 3)).astype(np.float32))
+        mask = jnp.ones(10, bool)
+        s = draw_max_of_gaussians(jax.random.PRNGKey(0), centers, mask,
+                                  0.02, 50)
+        assert np.asarray(s).shape == (50, 3)
+
+    def test_uniform_respects_workspace(self, rng):
+        pts = jnp.asarray(rng.uniform(-1, 1, (500, 3)).astype(np.float32))
+        mask = jnp.ones(500, bool)
+        ws = (-0.2, 0.2, -0.2, 0.2, -0.2, 0.2)
+        s = np.asarray(draw_uniform_cloud_samples(
+            jax.random.PRNGKey(0), pts, mask, ws, 64))
+        assert (np.abs(s) <= 0.2 + 1e-6).all()
+
+
+class TestCEMDetect:
+    def test_end_to_end(self, rng):
+        pts, nrm = cylinder_cloud(rng)
+        cloud = CloudArrays.from_numpy(pts, normals=nrm)
+        cfg = DetectorConfig(search_neighbors_cap=256, frame_neighbors_cap=32,
+                             normals_neighbors_cap=32, shadow_voxel_cap=256,
+                             min_inliers=0, num_selected=20)
+        det = GraspDetector(cfg)
+        cem = CEMConfig(num_init_samples=8, num_iterations=2,
+                        num_samples_per_iteration=8, min_score=-1e9)
+        sis = SequentialImportanceSampling(det, cem)
+        out = sis.detect(cloud, key=jax.random.PRNGKey(0), verbose=False)
+        assert int(np.asarray(out.valid).sum()) > 0
+
+    def test_reference_cem_config_parses(self):
+        cem = CEMConfig.from_file("/root/reference/cfg/cem_vino_params.cfg")
+        assert cem.num_iterations >= 1
+        assert 0.0 <= cem.prob_rand_samples <= 1.0

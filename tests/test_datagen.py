@@ -1,0 +1,137 @@
+"""Data-generation pipeline tests: HDF5 shard writer with resume journal,
+class balancing, ground-truth labeling, multi-view fusion."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from gpd_tpu.config import DetectorConfig
+from gpd_tpu.core.types import CloudArrays
+from gpd_tpu.datagen import (DataGenConfig, DataGenerator, HDF5ShardWriter,
+                             balance_instances, fuse_views,
+                             multiview_transform)
+from gpd_tpu.detector import GraspDetector
+
+
+class TestBalance:
+    def test_even(self, rng):
+        pos = np.arange(100)
+        neg = np.arange(100, 130)
+        keep = balance_instances(500, pos, neg, rng)
+        assert len(keep) == 60
+        assert (keep < 100).sum() == 30
+
+    def test_cap(self, rng):
+        pos = np.arange(100)
+        neg = np.arange(100, 200)
+        keep = balance_instances(40, pos, neg, rng)
+        assert len(keep) == 80
+
+
+class TestWriter:
+    def test_append_and_resume(self, tmp_path, rng):
+        path = str(tmp_path / "train.h5")
+        w = HDF5ShardWriter(path, 60, 15)
+        imgs = rng.integers(0, 256, (10, 60, 60, 15)).astype(np.uint8)
+        lbls = rng.integers(0, 2, 10).astype(np.uint8)
+        w.append("obj1", 0, imgs, lbls)
+        w.append("obj1", 1, imgs, lbls)
+        w.close()
+
+        w2 = HDF5ShardWriter(path, 60, 15)
+        assert w2.is_done("obj1", 0)
+        assert w2.is_done("obj1", 1)
+        assert not w2.is_done("obj1", 2)
+        assert w2.h5["labels"].shape[0] == 20
+        w2.append("obj1", 2, imgs, lbls)
+        assert w2.h5["labels"].shape[0] == 30
+        w2.close()
+
+    def test_shuffle(self, tmp_path, rng):
+        path = str(tmp_path / "t.h5")
+        w = HDF5ShardWriter(path, 60, 3)
+        imgs = np.arange(20, dtype=np.uint8)[:, None, None, None] * \
+            np.ones((20, 60, 60, 3), np.uint8)
+        lbls = np.arange(20, dtype=np.uint8) % 2
+        w.append("o", 0, imgs, lbls)
+        w.shuffle_in_place(seed=3)
+        vals = w.h5["images"][:, 0, 0, 0]
+        assert sorted(vals.tolist()) == list(range(20))
+        assert not np.array_equal(vals, np.arange(20))
+        w.close()
+
+    def test_compatible_with_train_loader(self, tmp_path, rng):
+        from gpd_tpu.net.train import HDF5Dataset
+        path = str(tmp_path / "t.h5")
+        w = HDF5ShardWriter(path, 60, 15)
+        imgs = rng.integers(0, 256, (32, 60, 60, 15)).astype(np.uint8)
+        lbls = rng.integers(0, 2, 32).astype(np.uint8)
+        w.append("o", 0, imgs, lbls)
+        w.close()
+        ds = HDF5Dataset(path)
+        blocks = list(ds.blocks())
+        assert len(blocks) == 1
+        assert blocks[0][0].shape == (32, 60, 60, 15)
+        assert blocks[0][1].dtype == np.int32
+
+
+class TestGenerateView:
+    def test_synthetic_object(self, rng):
+        """View cloud = half cylinder; mesh cloud = full cylinder.
+        Pipeline must produce balanced labeled instances."""
+        n = 2000
+        theta_full = rng.uniform(0, 2 * np.pi, n)
+        theta_view = rng.uniform(-np.pi / 2, np.pi / 2, n)
+
+        def cyl(theta):
+            pts = np.stack([0.03 * np.cos(theta), 0.03 * np.sin(theta),
+                            rng.uniform(-0.05, 0.05, n)], 1).astype(np.float32)
+            nrm = np.stack([np.cos(theta), np.sin(theta), np.zeros(n)],
+                           1).astype(np.float32)
+            return pts, nrm
+
+        vp, vn = cyl(theta_view)
+        mp, mn_ = cyl(theta_full)
+        view = CloudArrays.from_numpy(vp, normals=vn)
+        mesh = CloudArrays.from_numpy(mp, normals=mn_)
+
+        cfg = DetectorConfig(num_samples=16, search_neighbors_cap=256,
+                             frame_neighbors_cap=32, normals_neighbors_cap=32,
+                             shadow_voxel_cap=256)
+        det = GraspDetector(cfg)
+        gen = DataGenerator(det, DataGenConfig(min_grasps_per_view=1,
+                                               max_grasps_per_view=50))
+        images, labels = gen.generate_view(view, mesh, jax.random.PRNGKey(0),
+                                           rng)
+        assert images.ndim == 4 and images.dtype == np.uint8
+        assert len(images) == len(labels)
+        if len(labels) > 0:
+            # balanced: equal pos/neg
+            assert abs(int((labels == 1).sum()) -
+                       int((labels == 0).sum())) <= 0
+
+
+class TestMultiView:
+    def test_fuse(self, rng):
+        c1 = rng.normal(size=(50, 3)).astype(np.float32)
+        c2 = rng.normal(size=(30, 3)).astype(np.float32)
+        T1 = np.eye(4)
+        # Rotation by 90 deg about z + translation.
+        T2 = np.eye(4)
+        T2[:3, :3] = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+        T2[:3, 3] = [1, 0, 0]
+        pts, cam = fuse_views([c1, c2], [T1, T2])
+        assert pts.shape == (80, 3)
+        assert (cam[:50] == 1).all() and (cam[50:] == 2).all()
+        np.testing.assert_allclose(pts[:50], c1, atol=1e-6)
+        np.testing.assert_allclose(
+            pts[50], T2[:3, :3] @ c2[0] + T2[:3, 3], atol=1e-5)
+
+    def test_transform_compose(self):
+        pose_cam = np.diag([1.0, 1, 1, 1])
+        pose_table = np.eye(4)
+        pose_table[:3, 3] = [0, 0, 1]
+        T = multiview_transform(pose_cam, pose_table)
+        np.testing.assert_allclose(T[:3, 3], [0, 0, -1], atol=1e-9)

@@ -1,0 +1,213 @@
+"""End-to-end detector tests on the reference fixtures (krylon.pcd,
+table_mug.pcd) plus filter/clustering unit tests vs NumPy oracles."""
+
+import dataclasses
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gpd_tpu.config import DetectorConfig, load_config
+from gpd_tpu.core.types import CloudArrays, Grasps
+from gpd_tpu.detector import GraspDetector, detect_core, select_and_cluster
+from gpd_tpu import select as sel
+
+
+def small_cfg(**kw):
+    base = dict(num_samples=24, search_neighbors_cap=512,
+                frame_neighbors_cap=64, normals_neighbors_cap=64,
+                shadow_voxel_cap=512, min_inliers=0, num_selected=10)
+    base.update(kw)
+    return DetectorConfig(**base)
+
+
+def make_grasps(n, rng):
+    R = np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))
+    return Grasps(
+        position=jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)),
+        orientation=jnp.asarray(R),
+        sample=jnp.zeros((n, 3), jnp.float32),
+        width=jnp.asarray(rng.uniform(0, 0.1, n).astype(np.float32)),
+        score=jnp.asarray(rng.normal(size=n).astype(np.float32)),
+        bottom=jnp.zeros(n), top=jnp.zeros(n), center=jnp.zeros(n),
+        finger_placement=jnp.zeros(n, jnp.int32),
+        full_antipodal=jnp.zeros(n, bool),
+        half_antipodal=jnp.zeros(n, bool),
+        valid=jnp.ones(n, bool),
+        sample_id=jnp.zeros(n, jnp.int32),
+    )
+
+
+class TestFilters:
+    def test_aperture(self, rng):
+        g = make_grasps(50, rng)
+        out = sel.filter_grasps_workspace(g, (-10, 10, -10, 10, -10, 10),
+                                          0.02, 0.05, 0.12, 0.06)
+        w = np.asarray(g.width)
+        v = np.asarray(out.valid)
+        np.testing.assert_array_equal(v, (w >= 0.02) & (w <= 0.05))
+
+    def test_workspace_keypoints(self, rng):
+        g = make_grasps(50, rng)
+        # Tight box: only grasps whose 5 keypoints fit survive.
+        out = sel.filter_grasps_workspace(g, (-0.3, 0.3, -0.3, 0.3, -0.3, 0.3),
+                                          0.0, 1.0, 0.12, 0.06)
+        pos = np.asarray(g.position)
+        v = np.asarray(out.valid)
+        # Replicate reference keypoints (incl. right_top quirk).
+        for i in range(50):
+            p = pos[i]
+            binormal = np.array([0, 1, 0.0])
+            approach = np.array([1, 0, 0.0])
+            lb = p + 0.06 * binormal
+            rb = p - 0.06 * binormal
+            lt = lb + 0.06 * approach
+            rt = lb + 0.06 * approach
+            ap = p - 0.05 * approach
+            pts = np.stack([lb, rb, lt, rt, ap])
+            ok = (pts.min(0) >= -0.3).all() and (pts.max(0) <= 0.3).all()
+            assert ok == v[i], i
+
+    def test_direction_filter(self, rng):
+        g = make_grasps(30, rng)
+        out = sel.filter_grasps_direction(g, (1, 0, 0), 0.5)
+        # approach = identity col 0 = (1,0,0): angle 0 <= 0.5 -> all valid
+        assert np.asarray(out.valid).all()
+        out2 = sel.filter_grasps_direction(g, (-1, 0, 0), 0.5)
+        assert not np.asarray(out2.valid).any()
+
+
+def oracle_clusters(pos, axis, score, min_inliers, remove_inliers=False):
+    """Transcription of clustering.cpp:5-105."""
+    n = len(pos)
+    has_used = np.zeros(n, bool)
+    out = []
+    for i in range(n):
+        inl = []
+        for j in range(n):
+            if i == j or (remove_inliers and has_used[j]):
+                continue
+            if abs(axis[i] @ axis[j]) <= math.cos(12 * math.pi / 180):
+                continue
+            d = pos[i] - pos[j]
+            if np.linalg.norm(d) > 0.05:
+                continue
+            proj = (np.eye(3) - np.outer(axis[i], axis[i])) @ d
+            if np.linalg.norm(proj) > 0.005:
+                continue
+            inl.append(j)
+        if len(inl) >= min_inliers:
+            if remove_inliers:
+                has_used[inl] = True
+            mean_pos = pos[inl].mean(0)
+            m = score[inl].mean()
+            sd = score[inl].std()
+            conf = m - 2.576 * sd / math.sqrt(len(inl))
+            out.append((i, mean_pos, conf, len(inl)))
+    return out
+
+
+class TestClustering:
+    @pytest.mark.parametrize("remove_inliers", [False, True])
+    def test_vs_oracle(self, rng, remove_inliers):
+        n = 60
+        # Clustered positions: 6 centers with jitter
+        centers = rng.uniform(-0.3, 0.3, (6, 3))
+        pos = (centers[rng.integers(0, 6, n)] +
+               rng.normal(0, 0.001, (n, 3))).astype(np.float32)
+        axis = np.tile(np.array([0, 0, 1.0], np.float32), (n, 1))
+        score = rng.normal(size=n).astype(np.float32)
+        g = make_grasps(n, rng)
+        g = dataclasses.replace(g, position=jnp.asarray(pos),
+                                score=jnp.asarray(score))
+        out = sel.cluster_grasps(g, min_inliers=3,
+                                 remove_inliers=remove_inliers)
+        ref = oracle_clusters(pos.astype(np.float64),
+                              axis.astype(np.float64),
+                              score.astype(np.float64), 3, remove_inliers)
+        v = np.asarray(out.valid)
+        assert v.sum() == len(ref)
+        ref_by_i = {i: (mp, c) for i, mp, c, _ in ref}
+        outpos = np.asarray(out.position)
+        outscore = np.asarray(out.score)
+        for i in np.nonzero(v)[0]:
+            assert i in ref_by_i
+            mp, c = ref_by_i[i]
+            np.testing.assert_allclose(outpos[i], mp, atol=1e-5)
+            assert abs(outscore[i] - c) < 1e-4
+
+
+class TestTopK:
+    def test_select(self, rng):
+        g = make_grasps(40, rng)
+        out, _ = sel.select_top_k(g, 5)
+        scores = np.asarray(g.score)
+        v = np.asarray(out.valid)
+        assert v.sum() == 5
+        got = set(np.round(np.asarray(out.score)[v], 5).tolist())
+        want = set(np.round(np.sort(scores)[-5:], 5).tolist())
+        assert got == want
+
+
+class TestEndToEnd:
+    def test_krylon_full_pipeline(self, krylon_points):
+        cfg = small_cfg()
+        det = GraspDetector(cfg)
+        cloud = det.preprocess_cloud(krylon_points,
+                                     view_points=np.zeros((1, 3), np.float32))
+        n_pts = int(np.asarray(cloud.mask).sum())
+        assert 1000 < n_pts < 4467  # voxelized down
+        grasps = det.detect(cloud, key=jax.random.PRNGKey(0), verbose=False)
+        n = int(np.asarray(grasps.valid).sum())
+        assert n > 0, "no grasps found on krylon"
+        assert n <= cfg.num_selected
+        # Scores sorted descending among valid
+        s = np.asarray(grasps.score)[np.asarray(grasps.valid)]
+        assert np.all(np.diff(s) <= 1e-6)
+
+    def test_krylon_finds_antipodal_candidates(self, krylon_points):
+        """The spray can is graspable: with normals flipped outward
+        (centered_at_origin — the krylon cloud is object-centered with the
+        camera at the origin, so viewpoint orientation points normals
+        inward), candidate search must find full-antipodal candidates."""
+        from gpd_tpu.ops import candidates as cand
+        cfg = small_cfg(num_samples=32, search_neighbors_cap=4096,
+                        centered_at_origin=True)
+        det = GraspDetector(cfg)
+        cloud = det.preprocess_cloud(krylon_points,
+                                     view_points=np.zeros((1, 3), np.float32))
+        spos, smask = det.sample_cloud(cloud, jax.random.PRNGKey(1))
+        g = cand.search_hands(cloud, spos, smask, cfg)
+        assert int(np.asarray(g.valid).sum()) > 10
+        assert int(np.asarray(g.full_antipodal).sum()) > 0
+
+    def test_clustering_path(self, krylon_points):
+        cfg = small_cfg(min_inliers=1)
+        det = GraspDetector(cfg)
+        cloud = det.preprocess_cloud(krylon_points,
+                                     view_points=np.zeros((1, 3), np.float32))
+        grasps = det.detect(cloud, key=jax.random.PRNGKey(0), verbose=False)
+        assert int(np.asarray(grasps.valid).sum()) > 0
+
+    def test_12_channel_path(self, krylon_points):
+        cfg = small_cfg()
+        cfg = dataclasses.replace(
+            cfg, image_geometry=dataclasses.replace(cfg.image_geometry,
+                                                    num_channels=12))
+        det = GraspDetector(cfg)
+        cloud = det.preprocess_cloud(krylon_points,
+                                     view_points=np.zeros((1, 3), np.float32))
+        grasps = det.detect(cloud, key=jax.random.PRNGKey(0), verbose=False)
+        assert int(np.asarray(grasps.valid).sum()) > 0
+
+    def test_determinism(self, krylon_points):
+        cfg = small_cfg()
+        det = GraspDetector(cfg)
+        cloud = det.preprocess_cloud(krylon_points,
+                                     view_points=np.zeros((1, 3), np.float32))
+        g1 = det.detect(cloud, key=jax.random.PRNGKey(7), verbose=False)
+        g2 = det.detect(cloud, key=jax.random.PRNGKey(7), verbose=False)
+        np.testing.assert_array_equal(np.asarray(g1.valid), np.asarray(g2.valid))
+        np.testing.assert_allclose(np.asarray(g1.score), np.asarray(g2.score))

@@ -185,7 +185,7 @@ class TestLeNet:
             def forward(self, x):
                 x = self.pool(F.relu(self.conv1(x)))
                 x = self.pool(F.relu(self.conv2(x)))
-                x = x.view(-1, 7200)
+                x = x.reshape(-1, 7200)
                 x = F.relu(self.fc1(x))
                 return self.fc2(x)
 
