@@ -210,6 +210,8 @@ class DetectorConfig:
                                       # (auto-clamped to the cloud size)
     normals_neighbors_cap: int = 128  # K for normal estimation
     shadow_voxel_cap: int = 2048     # max unique shadow voxels per sample
+    shadow_source_cap: int = 1024    # max neighborhood points casting shadows
+                                     # (occupancy saturates; see ops/images.py)
 
     @property
     def hand_search_radius(self) -> float:

@@ -35,6 +35,48 @@ from gpd_tpu.ops.normals import (estimate_normals, refine_normals,
                                  reverse_normals_cloud)
 
 
+@functools.partial(jax.jit, static_argnames=("workspace", "cell_size",
+                                             "do_voxel"))
+def _prep_filter_voxel(cloud: CloudArrays, workspace, cell_size: float,
+                       do_voxel: bool) -> CloudArrays:
+    """Fused workspace filter + voxel downsample (one compile: on remote-
+    compile TPU backends every eager op costs a compilation round-trip)."""
+    cloud = pp.filter_workspace(cloud, workspace)
+    if do_voxel:
+        cloud = pp.voxelize(cloud, cell_size)
+    return cloud
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "k", "do_estimate",
+                                             "refine_k", "flip"))
+def _prep_normals(cloud: CloudArrays, radius: float, k: int,
+                  do_estimate: bool, refine_k: int, flip: bool) -> CloudArrays:
+    """Fused normal estimation + reverse pass + optional refinement/flip."""
+    if do_estimate:
+        cloud = estimate_normals(cloud, radius, k=k)
+    cloud = reverse_normals_cloud(cloud)
+    if refine_k > 0:
+        refined = refine_normals(cloud.points, cloud.normals, cloud.mask,
+                                 k=refine_k)
+        cloud = dataclasses.replace(cloud, normals=refined)
+    if flip:
+        cloud = dataclasses.replace(cloud, normals=-cloud.normals)
+    return cloud
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",
+                                             "above_plane"))
+def _sample_kernel(cloud: CloudArrays, key, num_samples: int,
+                   above_plane: bool):
+    pool = cloud.mask
+    if above_plane:
+        pool = pp.sample_above_plane(cloud, jax.random.fold_in(key, 3))
+    idx, valid = pp.subsample_uniform(jax.random.fold_in(key, 4), pool,
+                                      num_samples)
+    pos = jnp.where(valid[:, None], cloud.points[idx], 1e6)
+    return pos, valid
+
+
 def _compact_hands(grasps: Grasps, cap: int) -> Grasps:
     """Device-side compaction: bring valid hands to the front (stable), keep
     ``cap`` slots. Mirrors the reference's createImageList compaction
@@ -83,10 +125,14 @@ def detect_core(cloud: CloudArrays, sample_pos: jax.Array,
         radius=cfg.image_radius, k=cfg.search_neighbors_cap)
 
     if cfg.image_geometry.num_channels == 15:
-        nn_pts_s = cloud.points[nn_idx]
-        nn_cam_s = cloud.cam_source[nn_idx]
+        # Shadow sources: the nearest shadow_source_cap neighborhood points
+        # (occupied-voxel sets saturate quickly, so capping the ray sources
+        # bounds the sort cost with negligible occupancy change).
+        sc = min(cfg.shadow_source_cap, nn_idx.shape[1])
+        nn_pts_s = cloud.points[nn_idx[:, :sc]]
+        nn_cam_s = cloud.cam_source[nn_idx[:, :sc]]
         shadow_pts, shadow_valid = img.compute_shadows(
-            jax.random.fold_in(key, 2), nn_pts_s, nn_valid, nn_cam_s,
+            jax.random.fold_in(key, 2), nn_pts_s, nn_valid[:, :sc], nn_cam_s,
             cloud.view_points, jnp.float32(img.shadow_length_of(cfg.image_geometry)),
             n_sp=img.num_shadow_points(cfg.image_geometry),
             v_cap=cfg.shadow_voxel_cap)
@@ -173,23 +219,16 @@ class GraspDetector:
 
         cloud = CloudArrays.from_numpy(points, view_points=view_points,
                                        cam_source=cam_source, normals=normals)
-        cloud = pp.filter_workspace(cloud, cfg.workspace)
-        if cfg.voxelize:
-            cloud = pp.voxelize(cloud, cfg.voxel_size)
+        cloud = _prep_filter_voxel(cloud, tuple(cfg.workspace),
+                                   cfg.voxel_size, cfg.voxelize)
         cloud = cloud.compact_host()
         if cfg.remove_outliers:
             cloud = pp.remove_statistical_outliers(cloud)
             cloud = cloud.compact_host()
-        if normals is None or cfg.voxelize:
-            cloud = estimate_normals(cloud, cfg.normals_radius,
-                                     k=cfg.normals_neighbors_cap)
-        cloud = reverse_normals_cloud(cloud)
-        if cfg.refine_normals_k > 0:
-            refined = refine_normals(cloud.points, cloud.normals, cloud.mask,
-                                     k=cfg.refine_normals_k)
-            cloud = dataclasses.replace(cloud, normals=refined)
-        if cfg.centered_at_origin:
-            cloud = dataclasses.replace(cloud, normals=-cloud.normals)
+        cloud = _prep_normals(
+            cloud, cfg.normals_radius, cfg.normals_neighbors_cap,
+            do_estimate=(normals is None or cfg.voxelize),
+            refine_k=cfg.refine_normals_k, flip=cfg.centered_at_origin)
         return cloud
 
     def sample_cloud(self, cloud: CloudArrays,
@@ -197,13 +236,8 @@ class GraspDetector:
         """sampleAbovePlane? -> subsample(num_samples) -> (positions, mask)."""
         cfg = self.cfg
         key = key if key is not None else jax.random.PRNGKey(0)
-        pool = cloud.mask
-        if cfg.sample_above_plane:
-            pool = pp.sample_above_plane(cloud, jax.random.fold_in(key, 3))
-        idx, valid = pp.subsample_uniform(jax.random.fold_in(key, 4), pool,
-                                          cfg.num_samples)
-        pos = jnp.where(valid[:, None], cloud.points[idx], 1e6)
-        return pos, valid
+        return _sample_kernel(cloud, key, cfg.num_samples,
+                              cfg.sample_above_plane)
 
     # ---------------- detection ----------------
 
@@ -216,7 +250,7 @@ class GraspDetector:
         """Clamp the neighbor cap to the cloud size: truncated neighborhoods
         would silently drop collision points (the reference's kd-tree search
         is uncapped), so K must cover the densest plausible neighborhood."""
-        n = int(np.asarray(cloud.count()))
+        n = int(np.asarray(cloud.mask).sum())
         cap = min(self.cfg.search_neighbors_cap, _next_size(n, 256))
         if cap != self.cfg.search_neighbors_cap:
             return dataclasses.replace(self.cfg, search_neighbors_cap=cap)

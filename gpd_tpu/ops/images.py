@@ -25,10 +25,72 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from gpd_tpu.config import ImageGeometry
 
 SHADOW_VOXEL = 0.003
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def _raster_sums_pallas(rows, cols, aug, size: int):
+    """Per-cell sums via a Pallas TPU kernel: for each hand, loop over image
+    rows, build the masked column one-hot in VMEM, and accumulate with one
+    MXU contraction per row — onehots never touch HBM.
+
+    rows/cols: (G, K) int32 (invalid entries out of [0, size)).
+    aug: (G, K, Cp) f32 value channels (+count column).
+    Returns (G, size, size, Cp) f32 sums.
+    """
+    G, K = rows.shape
+    Cp = aug.shape[-1]
+    RT = 8                                               # rows per tile
+    size_pad = -(-size // RT) * RT
+    # Layout notes: keep K in the lane (minor) dimension everywhere — tiny
+    # minor dims (e.g. Cp=4) get padded to 128 lanes by the TPU tiling, a
+    # 32x HBM blowup. rows/cols pack into one (G, 2, K) operand; values go
+    # channel-major (G, Cp, K); output is (G, Cp, size_pad, size) with
+    # aligned 8-row-tile stores (sentinel rows land in the padded tail).
+    rc = jnp.stack([rows, cols], axis=1)                 # (G, 2, K)
+    augT = jnp.swapaxes(aug, 1, 2)                       # (G, Cp, K)
+
+    T = size_pad // RT
+
+    def kernel(rc_ref, v_ref, o_ref):
+        t = pl.program_id(1)
+        rows_k = rc_ref[0, 0, :]
+        cols_k = rc_ref[0, 1, :]
+        vals = v_ref[0, :, :]                            # (Cp, K)
+        cell_k = rows_k * size + cols_k                  # (K,)
+        tile_iota = jax.lax.broadcasted_iota(jnp.int32, (K, RT * size), 1)
+        tcell = cell_k - t * (RT * size)                 # id within this tile
+        oh = jnp.where(tcell[:, None] == tile_iota, 1.0, 0.0)  # (K, RT*size)
+        acc = jax.lax.dot_general(
+            vals, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (Cp, RT*size)
+        o_ref[0, :, :] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((G * T, Cp, RT * size), jnp.float32),
+        grid=(G, T),
+        in_specs=[
+            pl.BlockSpec((1, 2, K), lambda g, t: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cp, K), lambda g, t: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Cp, RT * size),
+                               lambda g, t: (g * T + t, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(rc, augT)
+    out = out.reshape(G, T, Cp, RT, size)[:, :, :, :, :]
+    out = jnp.moveaxis(out, 2, -1).reshape(G, size_pad, size, Cp)
+    return out[:, :size, :, :]                           # (G, size, size, Cp)
 
 
 def num_shadow_points(image: ImageGeometry) -> int:
@@ -149,20 +211,69 @@ def _cells(c0, c1, size: int):
 
 
 def _scatter_mean(cell, mask, values, num_hands: int, size: int):
-    """Masked per-cell mean: cell (G, K), values (G, K, C) -> (G, size*size, C)."""
+    """Masked per-cell mean: cell (G, K), values (G, K, C) -> (G, npx, C).
+
+    TPU-native formulation: XLA scatter with duplicate indices serializes,
+    and binary-search/gather schemes are lane-gather-bound; instead exploit
+    cell = row*size + col and factor the 2D histogram into ONE batched MXU
+    contraction per hand block:
+
+        out[g, r, l, c] = sum_k rowhot[g,k,r] * (colhot ox [values,1])[g,k,l,c]
+
+    Row/col one-hots are exact in any float dtype; counts ride along as an
+    extra channel. Blocked over hands to bound the materialized col-kron
+    operand.
+    """
     G, K = cell.shape
-    npx = size * size
-    seg = jnp.where(mask, cell + jnp.arange(G, dtype=jnp.int32)[:, None] * npx,
-                    G * npx)
-    seg = seg.reshape(-1)
-    flat_v = values.reshape(G * K, -1)
-    flat_w = mask.reshape(-1).astype(jnp.float32)
-    sums = jax.ops.segment_sum(flat_v * flat_w[:, None], seg,
-                               num_segments=G * npx + 1)[:-1]
-    cnts = jax.ops.segment_sum(flat_w, seg, num_segments=G * npx + 1)[:-1]
-    mean = sums / jnp.maximum(cnts, 1.0)[:, None]
     C = values.shape[-1]
-    return (mean.reshape(G, npx, C), cnts.reshape(G, npx))
+    row = cell // size
+    col = cell - row * size
+    m = mask.astype(values.dtype)
+
+    if _use_pallas():
+        rows = jnp.where(mask, row, size).astype(jnp.int32)
+        cols = jnp.where(mask, col, size).astype(jnp.int32)
+        aug = jnp.concatenate(
+            [values * m[..., None], m[..., None]], -1).astype(jnp.float32)
+        out = _raster_sums_pallas(rows, cols, aug, size)
+        sums = out[..., :C].reshape(G, size * size, C)
+        cnts = out[..., C].reshape(G, size * size)
+        mean = sums / jnp.maximum(cnts, 1.0)[..., None]
+        return mean, cnts
+
+    rid = jnp.arange(size, dtype=cell.dtype)
+    # Cap the materialized col-kron operand at ~768 MB f32 per block.
+    budget = 192 * 1024 * 1024
+    blk = max(8, budget // max(K * size * (C + 1), 1))
+    blk = min(G, blk)
+    nblk = -(-G // blk)
+    pad = nblk * blk - G
+
+    def pad0(a):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+    rows_b = pad0(row).reshape(nblk, blk, K)
+    cols_b = pad0(col).reshape(nblk, blk, K)
+    m_b = pad0(m).reshape(nblk, blk, K)
+    v_b = pad0(values).reshape(nblk, blk, K, C)
+
+    def block(args):
+        rw, cl, mm, vv = args
+        R = (rw[..., None] == rid).astype(vv.dtype) * mm[..., None]
+        Ch = (cl[..., None] == rid).astype(vv.dtype)          # (b, K, size)
+        aug = jnp.concatenate([vv, jnp.ones_like(vv[..., :1])], -1)
+        CV = (Ch[..., :, None] * aug[..., None, :]).reshape(
+            blk, K, size * (C + 1))
+        out = jnp.einsum("gkr,gkn->grn", R, CV,
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(blk, size, size, C + 1)
+
+    out = jax.lax.map(block, (rows_b, cols_b, m_b, v_b))
+    out = out.reshape(nblk * blk, size, size, C + 1)[:G]
+    sums = out[..., :C].reshape(G, size * size, C)
+    cnts = out[..., C].reshape(G, size * size)
+    mean = sums / jnp.maximum(cnts, 1.0)[..., None]
+    return mean, cnts
 
 
 def _dilate3(img):
@@ -244,6 +355,7 @@ def _raster_kernel(unit, inside, nrm_hand, shadow_unit, shadow_inside,
     return jnp.concatenate(chans, axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("image",))
 def make_images(nn_pts, nn_nrm, nn_valid, hand_R, hand_sample, hand_bottom,
                 hand_center, hand_valid, image: ImageGeometry,
                 shadow_pts: Optional[jax.Array] = None,

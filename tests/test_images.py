@@ -238,3 +238,41 @@ class TestLeNet:
         assert w.size == 20 * 15 * 5 * 5
         w2 = np.fromfile(os.path.join(d, "conv2_weights.bin"), np.float32)
         assert w2.size == 50 * 20 * 5 * 5
+
+
+class TestPallasRaster:
+    def test_interpret_matches_xla(self, rng):
+        """The Pallas rasterizer (interpret mode on CPU) must match the XLA
+        fallback path exactly."""
+        import jax
+        import gpd_tpu.ops.images as img_mod
+        G, K, size = 8, 300, 60
+        cell = jnp.asarray(rng.integers(0, size * size, (G, K)).astype(np.int32))
+        mask = jnp.asarray(rng.random((G, K)) < 0.5)
+        vals = jnp.asarray(rng.random((G, K, 3)).astype(np.float32))
+
+        mean_xla, cnt_xla = img_mod._scatter_mean(cell, mask, vals, G, size)
+
+        rows = jnp.where(mask, cell // size, size).astype(jnp.int32)
+        cols = jnp.where(mask, cell % size, size).astype(jnp.int32)
+        m = mask.astype(jnp.float32)
+        aug = jnp.concatenate([vals * m[..., None], m[..., None]], -1)
+        import unittest.mock as mock
+        with mock.patch.object(img_mod.pl, "pallas_call",
+                               functools_partial_interpret(img_mod.pl)):
+            out = img_mod._raster_sums_pallas(rows, cols, aug, size)
+        sums = np.asarray(out[..., :3]).reshape(G, size * size, 3)
+        cnts = np.asarray(out[..., 3]).reshape(G, size * size)
+        mean = sums / np.maximum(cnts, 1.0)[..., None]
+        np.testing.assert_allclose(np.asarray(cnt_xla), cnts, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(mean_xla), mean, atol=1e-5)
+
+
+def functools_partial_interpret(pl_mod):
+    import functools
+    orig = pl_mod.pallas_call
+
+    def wrapper(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+    return wrapper
