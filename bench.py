@@ -46,15 +46,23 @@ def main():
         out = select_and_cluster(g, cfg)
         return out
 
-    # Warmup / compile.
-    out = step(key)
-    out.valid.block_until_ready()
+    def sync(g):
+        # On remote TPU backends block_until_ready can return early; a
+        # device->host fetch is the reliable synchronization point.
+        return np.asarray(g.valid[:1])
 
-    n_iters = 20
+    # Warmup / compile.
+    t0 = time.perf_counter()
+    out = step(key)
+    sync(out)
+    print(f"# warmup (incl. compile): {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    n_iters = 10
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = step(jax.random.fold_in(key, i))
-    out.valid.block_until_ready()
+    sync(out)
     dt = (time.perf_counter() - t0) / n_iters
 
     n_candidates = spos.shape[0] * cfg.num_orientations * len(cfg.hand_axes)

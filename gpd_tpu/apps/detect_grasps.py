@@ -22,6 +22,15 @@ def main(argv=None):
 
     config_filename, pcd_filename = argv[0], argv[1]
 
+    import os
+    # File checks mirroring the reference (src/detect_grasps.cpp
+    # checkFileExists): friendly error + -1, not a traceback.
+    for f in [config_filename, pcd_filename] + ([argv[2]] if len(argv) > 2
+                                                else []):
+        if not os.path.exists(f):
+            print(f"File {f} could not be found!")
+            return -1
+
     from gpd_tpu.config import load_config
     from gpd_tpu.detector import GraspDetector
     from gpd_tpu.io.pcd import load_cloud_file, load_normals_csv

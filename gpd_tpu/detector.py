@@ -139,21 +139,57 @@ def detect_core(cloud: CloudArrays, sample_pos: jax.Array,
     else:
         shadow_pts = shadow_valid = None
 
-    g = _compact_hands(grasps, image_cap)
-    sid = g.sample_id
-    h_idx = nn_idx[sid]
-    h_nvalid = nn_valid[sid] & g.valid[:, None]
-    h_pts = cloud.points[h_idx]
-    h_nrm = cloud.normals[h_idx]
+    # Valid-first ordering, then image + score in fixed-size chunks so the
+    # candidate count is unbounded while per-chunk memory stays capped.
+    total = grasps.capacity
+    n_chunks = max(1, -(-total // image_cap))
+    order = jnp.argsort(~grasps.valid, stable=True)
+    pad = n_chunks * image_cap - total
+    order = jnp.pad(order, (0, pad))
+    g_all = grasps.take(order)
+    if pad:
+        g_all = dataclasses.replace(
+            g_all, valid=g_all.valid & (jnp.arange(total + pad) < total))
 
-    images = img.make_images(
-        h_pts, h_nrm, h_nvalid, g.orientation, g.sample, g.bottom, g.center,
-        g.valid, cfg.image_geometry,
-        shadow_pts=None if shadow_pts is None else shadow_pts[sid],
-        shadow_valid=None if shadow_valid is None else shadow_valid[sid])
+    ig = cfg.image_geometry
 
-    # 4. Classification (grasp_detector.cpp:267-273).
-    scores = lenet.score(params, images)
+    def run_chunk(gc: Grasps):
+        sid = gc.sample_id
+        h_idx = nn_idx[sid]
+        h_nvalid = nn_valid[sid] & gc.valid[:, None]
+        h_pts = cloud.points[h_idx]
+        h_nrm = cloud.normals[h_idx]
+        images = img.make_images(
+            h_pts, h_nrm, h_nvalid, gc.orientation, gc.sample, gc.bottom,
+            gc.center, gc.valid, ig,
+            shadow_pts=None if shadow_pts is None else shadow_pts[sid],
+            shadow_valid=None if shadow_valid is None else shadow_valid[sid])
+        scores = lenet.score(params, images)
+        return scores, images
+
+    def skip_chunk(gc: Grasps):
+        n = gc.valid.shape[0]
+        return (jnp.full((n,), -jnp.inf, jnp.float32),
+                jnp.zeros((n, ig.size, ig.size, ig.num_channels), jnp.uint8))
+
+    def chunk_fn(gc: Grasps):
+        # Valid-first ordering means trailing chunks are often all-invalid;
+        # cond skips their image/score work entirely.
+        return jax.lax.cond(jnp.any(gc.valid), run_chunk, skip_chunk, gc)
+
+    if n_chunks == 1:
+        g = g_all
+        scores, images = chunk_fn(g)
+    else:
+        g = g_all
+        g_chunks = jax.tree_util.tree_map(
+            lambda a: a.reshape((n_chunks, image_cap) + a.shape[1:]), g_all)
+        scores, images = jax.lax.map(chunk_fn, g_chunks)
+        scores = scores.reshape(-1)
+        images = images.reshape((-1,) + images.shape[2:])
+
+    # 4. Classification scores attach to the ordered batch
+    # (grasp_detector.cpp:267-273).
     g = dataclasses.replace(g, score=jnp.where(g.valid, scores, -jnp.inf))
     return g, images
 

@@ -57,10 +57,38 @@ def init_params(key: jax.Array, num_channels: int = 15,
     }
 
 
+def init_params_ccfff(key: jax.Array, num_channels: int = 15,
+                      image_size: int = 60,
+                      hidden: Tuple[int, int] = (120, 84)) -> Params:
+    """The reference's NetCCFFF 3-fc variant (pytorch/network.py:13-30):
+    conv-conv-fc-fc-fc with an extra hidden layer."""
+    ks = jax.random.split(key, 5)
+    s = (image_size - 4) // 2
+    s = (s - 4) // 2
+    flat = 50 * s * s
+
+    def he(k, shape, fan_in):
+        return jax.random.normal(k, shape, jnp.float32) * np.sqrt(2.0 / fan_in)
+
+    return {
+        "conv1_w": he(ks[0], (20, num_channels, 5, 5), num_channels * 25),
+        "conv1_b": jnp.zeros(20),
+        "conv2_w": he(ks[1], (50, 20, 5, 5), 20 * 25),
+        "conv2_b": jnp.zeros(50),
+        "fc1_w": he(ks[2], (hidden[0], flat), flat),
+        "fc1_b": jnp.zeros(hidden[0]),
+        "fc2_w": he(ks[3], (hidden[1], hidden[0]), hidden[0]),
+        "fc2_b": jnp.zeros(hidden[1]),
+        "fc3_w": he(ks[4], (2, hidden[1]), hidden[1]),
+        "fc3_b": jnp.zeros(2),
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("conv_relu",))
 def forward(params: Params, images_u8: jax.Array,
             conv_relu: bool = True) -> jax.Array:
-    """images_u8: (G, H, W, C) uint8 -> logits (G, 2)."""
+    """images_u8: (G, H, W, C) uint8 -> logits (G, 2). Supports both the
+    2-fc Net and (when 'fc3_w' is present) the 3-fc NetCCFFF variant."""
     x = images_u8.astype(jnp.float32) * (1.0 / 256.0)
     x = jnp.transpose(x, (0, 3, 1, 2))                     # NCHW
 
@@ -86,7 +114,11 @@ def forward(params: Params, images_u8: jax.Array,
     x = x.reshape(x.shape[0], -1)                           # CHW flatten
     x = x @ params["fc1_w"].T + params["fc1_b"]
     x = jnp.maximum(x, 0.0)
-    return x @ params["fc2_w"].T + params["fc2_b"]
+    x = x @ params["fc2_w"].T + params["fc2_b"]
+    if "fc3_w" in params:                                   # NetCCFFF
+        x = jnp.maximum(x, 0.0)
+        x = x @ params["fc3_w"].T + params["fc3_b"]
+    return x
 
 
 def score(params: Params, images_u8: jax.Array, conv_relu: bool = True) -> jax.Array:

@@ -317,24 +317,30 @@ def _raster_kernel(unit, inside, nrm_hand, shadow_unit, shadow_inside,
     absn = jnp.abs(nrm_hand)
 
     n_proj = 3 if num_channels in (12, 15) else 1
-    per = {1: 1, 3: 3, 12: 4, 15: 5}[num_channels]
     chans = []
     for pi in range(n_proj):
         p = _PROJECTIONS[pi]
         c0, c1, c2 = unit[..., p[0]], unit[..., p[1]], unit[..., p[2]]
         cell = _cells(c0, c1, size)
 
-        if num_channels in (3, 12, 15):
-            nimg, _ = _scatter_mean(cell, inside, absn, G, size)
-            nimg = nimg.reshape(G, size, size, 3)
-            nimg = _dilate3(nimg)
+        # Normals + depth share cell indices: one fused scatter per
+        # projection (channels [|n| x3, z]).
+        if num_channels in (12, 15):
+            vals = jnp.concatenate([absn, c2[..., None]], axis=-1)
+            mean, cnt = _scatter_mean(cell, inside, vals, G, size)
+            nimg = _dilate3(mean[..., :3].reshape(G, size, size, 3))
             chans.append(_minmax_u8(nimg, joint_axes=(1, 2, 3)))
-
-        if num_channels in (1, 12, 15):
+            dimg = jnp.where(cnt[..., None] > 0, 1.0 - mean[..., 3:], 0.0)
+            dimg = _dilate3(dimg.reshape(G, size, size, 1))
+            chans.append(_minmax_u8(dimg, joint_axes=(1, 2, 3)))
+        elif num_channels == 3:
+            nimg, _ = _scatter_mean(cell, inside, absn, G, size)
+            nimg = _dilate3(nimg.reshape(G, size, size, 3))
+            chans.append(_minmax_u8(nimg, joint_axes=(1, 2, 3)))
+        elif num_channels == 1:
             dmean, dcnt = _scatter_mean(cell, inside, c2[..., None], G, size)
             dimg = jnp.where(dcnt[..., None] > 0, 1.0 - dmean, 0.0)
-            dimg = dimg.reshape(G, size, size, 1)
-            dimg = _dilate3(dimg)
+            dimg = _dilate3(dimg.reshape(G, size, size, 1))
             chans.append(_minmax_u8(dimg, joint_axes=(1, 2, 3)))
 
         if num_channels == 15:

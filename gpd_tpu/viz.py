@@ -128,3 +128,25 @@ def grasp_image_grid(image: np.ndarray, path: Optional[str] = None):
         fig.savefig(path, dpi=120)
         plt.close(fig)
     return fig
+
+
+def plot_loss_stats(log_file: str, path: Optional[str] = None):
+    """Training-curve plot (replaces pytorch/plot_loss_stats.py): reads the
+    'step,loss,accuracy' CSV written by gpd_tpu.net.train."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    data = np.loadtxt(log_file, delimiter=",").reshape(-1, 3)
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4))
+    ax1.plot(data[:, 0], data[:, 1])
+    ax1.set_xlabel("step")
+    ax1.set_ylabel("loss")
+    ax2.plot(data[:, 0], data[:, 2])
+    ax2.set_xlabel("step")
+    ax2.set_ylabel("accuracy")
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    return fig

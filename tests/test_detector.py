@@ -211,3 +211,83 @@ class TestEndToEnd:
         g2 = det.detect(cloud, key=jax.random.PRNGKey(7), verbose=False)
         np.testing.assert_array_equal(np.asarray(g1.valid), np.asarray(g2.valid))
         np.testing.assert_allclose(np.asarray(g1.score), np.asarray(g2.score))
+
+
+class TestMultiCamera:
+    def test_two_view_cloud(self, rng):
+        """Two-camera cloud: bitmask camera sources flow through preprocess,
+        shadows, and detection (reference two-camera ctor cloud.cpp:120-152)."""
+        n = 1200
+        theta1 = rng.uniform(-np.pi / 2, np.pi / 2, n)
+        theta2 = rng.uniform(np.pi / 2, 3 * np.pi / 2, n)
+        theta = np.concatenate([theta1, theta2])
+        pts = np.stack([0.03 * np.cos(theta), 0.03 * np.sin(theta),
+                        rng.uniform(-0.05, 0.05, 2 * n)], 1).astype(np.float32)
+        cam = np.zeros((2, 2 * n), np.int32)
+        cam[0, :n] = 1
+        cam[1, n:] = 1
+        vp = np.array([[0.5, 0, 0], [-0.5, 0, 0]], np.float32)
+        cfg = small_cfg(num_samples=16)
+        det = GraspDetector(cfg)
+        cloud = det.preprocess_cloud(pts, view_points=vp, cam_source=cam)
+        # normals oriented per camera: x>0 points toward cam0 at +x
+        g = det.detect(cloud, key=jax.random.PRNGKey(0), verbose=False)
+        assert int(np.asarray(g.valid).sum()) > 0
+
+    def test_fifteen_channel_two_view(self, rng):
+        n = 800
+        theta = rng.uniform(0, 2 * np.pi, n)
+        pts = np.stack([0.03 * np.cos(theta), 0.03 * np.sin(theta),
+                        rng.uniform(-0.04, 0.04, n)], 1).astype(np.float32)
+        cam = np.ones((2, n), np.int32)  # all points seen by both cameras
+        vp = np.array([[0.5, 0, 0], [0, 0.5, 0]], np.float32)
+        cfg = small_cfg(num_samples=8)
+        cfg = dataclasses.replace(
+            cfg, image_geometry=dataclasses.replace(cfg.image_geometry,
+                                                    num_channels=15))
+        det = GraspDetector(cfg)
+        cloud = det.preprocess_cloud(pts, view_points=vp, cam_source=cam)
+        g = det.detect(cloud, key=jax.random.PRNGKey(0), verbose=False)
+        assert g.valid.shape[0] > 0
+
+
+class TestLargeCloud:
+    def test_table_mug_detect(self):
+        """The bigger table_mug fixture (104k raw points) through the full
+        pipeline at a moderate sample count."""
+        from gpd_tpu.io.pcd import load_pcd
+        pts = load_pcd("/root/reference/tutorials/table_mug.pcd")
+        cfg = small_cfg(num_samples=16, sample_above_plane=True)
+        det = GraspDetector(cfg)
+        cloud = det.preprocess_cloud(pts,
+                                     view_points=np.zeros((1, 3), np.float32))
+        n = int(np.asarray(cloud.mask).sum())
+        assert n > 5000  # voxelized from 104k
+        g = det.detect(cloud, key=jax.random.PRNGKey(0), verbose=False)
+        assert int(np.asarray(g.valid).sum()) > 0
+
+
+class TestChunkedScoring:
+    def test_many_samples_chunks(self, rng):
+        """More candidates than one image chunk: scores must cover all valid
+        hands (chunked image/score path in detect_core)."""
+        from gpd_tpu.detector import detect_core
+        n = 2500
+        theta = rng.uniform(0, 2 * np.pi, n)
+        pts = np.stack([0.03 * np.cos(theta), 0.03 * np.sin(theta),
+                        rng.uniform(-0.05, 0.05, n)], 1).astype(np.float32)
+        nrm = np.stack([np.cos(theta), np.sin(theta), np.zeros(n)],
+                       1).astype(np.float32)
+        cloud = CloudArrays.from_numpy(pts, normals=nrm)
+        cfg = small_cfg(num_samples=48)
+        det = GraspDetector(cfg)
+        spos = jnp.asarray(pts[:48])
+        smask = jnp.ones(48, bool)
+        # Force 3 chunks: cap 128 < 48*8=384 candidates.
+        g, images = detect_core(cloud, spos, smask, det.params,
+                                jax.random.PRNGKey(0), cfg, 128)
+        valid = np.asarray(g.valid)
+        scores = np.asarray(g.score)
+        assert valid.sum() > 128, "test needs more valid hands than one chunk"
+        assert np.isfinite(scores[valid]).all()
+        assert images.shape[0] == g.valid.shape[0]
