@@ -9,7 +9,11 @@ import os as _os
 
 import jax as _jax
 
-if _os.environ.get("GPD_TPU_DISABLE_CACHE") != "1":
+if (_os.environ.get("GPD_TPU_DISABLE_CACHE") != "1"
+        and not _os.environ.get("JAX_PLATFORMS", "").startswith("cpu")):
+    # CPU runs skip the cache: XLA:CPU AOT artifacts embed machine features
+    # and a cache entry written by a different host (e.g. the remote-compile
+    # helper) can SIGILL on load.
     _cache = _os.environ.get(
         "GPD_TPU_CACHE_DIR",
         _os.path.join(_os.path.dirname(_os.path.dirname(

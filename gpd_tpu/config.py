@@ -206,8 +206,11 @@ class DetectorConfig:
     # TPU-specific knobs (no reference equivalent): padded neighborhood caps.
     max_cloud_points: int = 0        # 0 = auto (next pow2 of the cloud)
     frame_neighbors_cap: int = 64    # K for local-frame estimation
-    search_neighbors_cap: int = 4096  # K for hand search / image neighborhoods
+    search_neighbors_cap: int = 4096  # K for hand search neighborhoods
                                       # (auto-clamped to the cloud size)
+    image_neighbors_cap: int = 2048   # K for descriptor neighborhoods (the
+                                      # image volume is far smaller than the
+                                      # search ball; nearest-K covers it)
     normals_neighbors_cap: int = 128  # K for normal estimation
     shadow_voxel_cap: int = 2048     # max unique shadow voxels per sample
     shadow_source_cap: int = 1024    # max neighborhood points casting shadows

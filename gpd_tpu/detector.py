@@ -119,10 +119,12 @@ def detect_core(cloud: CloudArrays, sample_pos: jax.Array,
         img_mask = cloud.mask & ~inl
 
     # Per-sample image-radius neighborhoods, shared by the sample's hands
-    # (image_generator.cpp:42-64).
+    # (image_generator.cpp:42-64). Nearest-K ordering means the cap keeps
+    # the closest points, which cover the (much smaller) image volume.
+    k_img = min(cfg.image_neighbors_cap, cloud.points.shape[0])
     nn_idx, nn_valid = radius_neighbors(
         sample_pos, sample_mask, cloud.points, img_mask,
-        radius=cfg.image_radius, k=cfg.search_neighbors_cap)
+        radius=cfg.image_radius, k=k_img)
 
     if cfg.image_geometry.num_channels == 15:
         # Shadow sources: the nearest shadow_source_cap neighborhood points

@@ -48,7 +48,10 @@ def _raster_sums_pallas(rows, cols, aug, size: int):
     """
     G, K = rows.shape
     Cp = aug.shape[-1]
-    RT = 8                                               # rows per tile
+    # Rows per tile: total onehot work is RT-independent, but input DMA
+    # refetch scales with the tile count, so use taller tiles when the
+    # onehot fits VMEM (K * RT*size * 4B <~ 8 MB).
+    RT = 8 if K > 2048 else (16 if K > 1024 else 32)
     size_pad = -(-size // RT) * RT
     # Layout notes: keep K in the lane (minor) dimension everywhere — tiny
     # minor dims (e.g. Cp=4) get padded to 128 lanes by the TPU tiling, a
