@@ -300,24 +300,28 @@ class GraspDetector:
                key: Optional[jax.Array] = None,
                verbose: bool = True) -> Grasps:
         """Full detectGrasps pipeline with per-stage timing."""
+        from gpd_tpu import profiling
         cfg = self.effective_config(cloud)
         key = key if key is not None else jax.random.PRNGKey(0)
-        t0 = time.time()
-        if sample_pos is None:
-            sample_pos, sample_mask = self.sample_cloud(cloud, key)
-        cap = self.image_cap(sample_pos.shape[0])
+        with profiling.maybe_trace():
+            t0 = time.time()
+            if sample_pos is None:
+                sample_pos, sample_mask = self.sample_cloud(cloud, key)
+            cap = self.image_cap(sample_pos.shape[0])
 
-        t_c0 = time.time()
-        g, images = detect_core(cloud, sample_pos, sample_mask, self.params,
-                                key, cfg, cap)
-        g.valid.block_until_ready()
-        t_detect = time.time() - t_c0
+            t_c0 = time.time()
+            with profiling.span("detect_core"):
+                g, images = detect_core(cloud, sample_pos, sample_mask,
+                                        self.params, key, cfg, cap)
+                g.valid.block_until_ready()
+            t_detect = time.time() - t_c0
 
-        t_s0 = time.time()
-        out = select_and_cluster(g, cfg)
-        out.valid.block_until_ready()
-        t_select = time.time() - t_s0
-        t_total = time.time() - t0
+            t_s0 = time.time()
+            with profiling.span("select_and_cluster"):
+                out = select_and_cluster(g, cfg)
+                out.valid.block_until_ready()
+            t_select = time.time() - t_s0
+            t_total = time.time() - t0
 
         self.last_runtimes = dict(detect=t_detect, select=t_select,
                                   total=t_total)
