@@ -184,24 +184,29 @@ class Grasps:
     def take(self, idx) -> "Grasps":
         return jax.tree_util.tree_map(lambda a: a[idx], self)
 
+    def to_host(self) -> "Grasps":
+        """One bulk device->host transfer of every field (on remote-TPU
+        backends each eager fetch is a round trip; never fetch per-grasp)."""
+        return jax.tree_util.tree_map(np.asarray, self)
+
     def to_host_list(self):
         """Materialize valid grasps as a list of dicts (for printing/CSV)."""
-        valid = np.asarray(self.valid)
-        order = np.nonzero(valid)[0]
+        h = self.to_host()
+        order = np.nonzero(h.valid)[0]
         out = []
         for i in order:
             out.append(dict(
-                position=np.asarray(self.position[i]),
-                orientation=np.asarray(self.orientation[i]),
-                sample=np.asarray(self.sample[i]),
-                width=float(self.width[i]),
-                score=float(self.score[i]),
-                bottom=float(self.bottom[i]),
-                top=float(self.top[i]),
-                center=float(self.center[i]),
-                finger_placement=int(self.finger_placement[i]),
-                full_antipodal=bool(self.full_antipodal[i]),
-                half_antipodal=bool(self.half_antipodal[i]),
+                position=h.position[i],
+                orientation=h.orientation[i],
+                sample=h.sample[i],
+                width=float(h.width[i]),
+                score=float(h.score[i]),
+                bottom=float(h.bottom[i]),
+                top=float(h.top[i]),
+                center=float(h.center[i]),
+                finger_placement=int(h.finger_placement[i]),
+                full_antipodal=bool(h.full_antipodal[i]),
+                half_antipodal=bool(h.half_antipodal[i]),
             ))
         return out
 
