@@ -213,8 +213,11 @@ class DetectorConfig:
                                       # search ball; nearest-K covers it)
     normals_neighbors_cap: int = 128  # K for normal estimation
     shadow_voxel_cap: int = 2048     # max unique shadow voxels per sample
-    shadow_source_cap: int = 1024    # max neighborhood points casting shadows
-                                     # (occupancy saturates; see ops/images.py)
+    shadow_source_cap: int = 512     # max neighborhood points casting shadows
+                                     # (occupancy saturates fast — 512 sources
+                                     # x ~33 ray points >> the 2048-voxel cap —
+                                     # and the dedup sort cost is linear in
+                                     # sources; see ops/images.py)
 
     @property
     def hand_search_radius(self) -> float:

@@ -25,6 +25,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -37,63 +38,87 @@ def _use_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def _raster_sums_pallas(rows, cols, aug, size: int):
-    """Per-cell sums via a Pallas TPU kernel: for each hand, loop over image
-    rows, build the masked column one-hot in VMEM, and accumulate with one
-    MXU contraction per row — onehots never touch HBM.
+def _raster_sums_pallas(rows, cols, aug, size: int,
+                        precision=jax.lax.Precision.HIGHEST):
+    """Per-cell sums via a Pallas TPU kernel, one grid step per hand.
 
-    rows/cols: (G, K) int32 (invalid entries out of [0, size)).
-    aug: (G, K, Cp) f32 value channels (+count column).
+    Factorized-onehot formulation: instead of materializing the full
+    (K, size*size) cell onehot (work G*K*size^2, VPU-bound), build a row
+    onehot (R, K) and a column-kron operand (size*Cp, K) and contract over
+    K on the MXU:
+
+        out[r, col*Cp + c] = sum_k rowhotT[r, k] * (colmaskT * vals_t)[j, k]
+
+    where vals_t[j, k] = vals[j % Cp, k] rides along via a tiny
+    (N, Cp) @ (Cp, K) matmul. Work drops to G * (R + size*Cp) * K onehot
+    elements + one (R, K) x (N, K) NT contraction per hand.
+
+    Layout rules honored (see CLAUDE.md): K stays in the lane dimension for
+    every operand (tiny minor dims get padded to 128 lanes in HBM);
+    onehot comparisons use f32 where() (1-bit minor-dim broadcasts are
+    unsupported); output rows land in an (R = size+1 rounded to 8)-row
+    block so sentinel rows fall in the sliced-off tail.
+
+    rows/cols: (G, K) int32 (invalid entries == size).
+    aug: (G, K, Cp) f32 value channels (+count column), pre-masked.
     Returns (G, size, size, Cp) f32 sums.
     """
     G, K = rows.shape
     Cp = aug.shape[-1]
-    # Rows per tile: total onehot work is RT-independent, but input DMA
-    # refetch scales with the tile count, so use taller tiles when the
-    # onehot fits VMEM (K * RT*size * 4B <~ 8 MB).
-    RT = 8 if K > 2048 else (16 if K > 1024 else 32)
-    size_pad = -(-size // RT) * RT
-    # Layout notes: keep K in the lane (minor) dimension everywhere — tiny
-    # minor dims (e.g. Cp=4) get padded to 128 lanes by the TPU tiling, a
-    # 32x HBM blowup. rows/cols pack into one (G, 2, K) operand; values go
-    # channel-major (G, Cp, K); output is (G, Cp, size_pad, size) with
-    # aligned 8-row-tile stores (sentinel rows land in the padded tail).
-    rc = jnp.stack([rows, cols], axis=1)                 # (G, 2, K)
-    augT = jnp.swapaxes(aug, 1, 2)                       # (G, Cp, K)
+    N = size * Cp
+    R = -(-(size + 1) // 8) * 8
+    Kp = -(-K // 128) * 128
+    if Kp != K:
+        # Explicit sentinel padding: Mosaic lane padding is undefined data,
+        # which the onehot compares must never see.
+        rows = jnp.pad(rows, ((0, 0), (0, Kp - K)), constant_values=size)
+        cols = jnp.pad(cols, ((0, 0), (0, Kp - K)), constant_values=size)
+        aug = jnp.pad(aug, ((0, 0), (0, Kp - K), (0, 0)))
 
-    T = size_pad // RT
+    rc = jnp.stack([rows, cols], axis=1)                 # (G, 2, Kp)
+    augT = jnp.swapaxes(aug, 1, 2)                       # (G, Cp, Kp)
 
-    def kernel(rc_ref, v_ref, o_ref):
-        t = pl.program_id(1)
-        rows_k = rc_ref[0, 0, :]
-        cols_k = rc_ref[0, 1, :]
-        vals = v_ref[0, :, :]                            # (Cp, K)
-        cell_k = rows_k * size + cols_k                  # (K,)
-        tile_iota = jax.lax.broadcasted_iota(jnp.int32, (K, RT * size), 1)
-        tcell = cell_k - t * (RT * size)                 # id within this tile
-        oh = jnp.where(tcell[:, None] == tile_iota, 1.0, 0.0)  # (K, RT*size)
-        acc = jax.lax.dot_general(
-            vals, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (Cp, RT*size)
-        o_ref[0, :, :] = acc
+    # Channel-minor j = col*Cp + c, matching pltpu.repeat's tile semantics:
+    # row j of the tiled value operand is vals[j % Cp]; colj is a static
+    # per-row constant.
+    jj = np.arange(N, dtype=np.int32)
+    colj = jnp.asarray((jj // Cp).reshape(N, 1))         # (N, 1) i32
+
+    def kernel(rc_ref, v_ref, colj_ref, o_ref):
+        rows_k = rc_ref[0, 0:1, :]                       # (1, Kp) i32
+        cols_k = rc_ref[0, 1:2, :]                       # (1, Kp)
+        # pltpu.repeat tiles whole blocks: (Cp, Kp) -> (N, Kp) with row
+        # j = vals[j % Cp].
+        vals_rep = pltpu.repeat(v_ref[0], size, axis=0)  # (N, Kp)
+        cv = jnp.where(colj_ref[:] == cols_k, vals_rep, 0.0)   # (N, Kp)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (R, Kp), 0)
+        rowhot = jnp.where(rows_k == rr, 1.0, 0.0)       # (R, Kp)
+        # The rowhot operand is exact in any matmul dtype; `precision`
+        # guards the value operand against bf16 input rounding (HIGHEST is
+        # within float32 rounding of the NumPy histogram; DEFAULT costs
+        # ~2e-3 relative on the value channels, sub-uint8-step after the
+        # minmax normalize, with exact counts either way).
+        o_ref[0] = jax.lax.dot_general(
+            rowhot, cv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                         # (R, N)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((G * T, Cp, RT * size), jnp.float32),
-        grid=(G, T),
+        out_shape=jax.ShapeDtypeStruct((G, R, N), jnp.float32),
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, 2, K), lambda g, t: (g, 0, 0),
+            pl.BlockSpec((1, 2, Kp), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cp, K), lambda g, t: (g, 0, 0),
+            pl.BlockSpec((1, Cp, Kp), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, 1), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Cp, RT * size),
-                               lambda g, t: (g * T + t, 0, 0),
+        out_specs=pl.BlockSpec((1, R, N), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(rc, augT)
-    out = out.reshape(G, T, Cp, RT, size)[:, :, :, :, :]
-    out = jnp.moveaxis(out, 2, -1).reshape(G, size_pad, size, Cp)
-    return out[:, :size, :, :]                           # (G, size, size, Cp)
+    )(rc, augT, colj)
+    # out[g, r, col*Cp + c] -> (G, size, size, Cp); sentinel rows sliced off.
+    return out[:, :size, :].reshape(G, size, size, Cp)
 
 
 def num_shadow_points(image: ImageGeometry) -> int:
