@@ -36,20 +36,26 @@ def main():
 
     pts = load_pcd("/root/reference/tutorials/krylon.pcd")
     cloud = det.preprocess_cloud(pts, view_points=np.zeros((1, 3), np.float32))
+    cfg = det.effective_config(cloud)
 
     key = jax.random.PRNGKey(0)
     spos, smask = det.sample_cloud(cloud, key)
     cap = det.image_cap(spos.shape[0])
 
     def step(k):
-        g, _ = detect_core(cloud, spos, smask, det.params, k, cfg, cap)
+        g, _ = detect_core(cloud, spos, smask, det.params, k, cfg, cap,
+                           scores_only=True)
         out = select_and_cluster(g, cfg)
         return out
+
+    import jax.numpy as jnp_mod
+    jnp_asarray = jnp_mod.asarray
 
     def sync(g):
         # On remote TPU backends block_until_ready can return early; a
         # device->host fetch is the reliable synchronization point.
-        return np.asarray(g.valid[:1])
+        leaf = jax.tree_util.tree_leaves(g)[0]
+        return np.asarray(leaf.ravel()[:1])
 
     # Warmup / compile.
     t0 = time.perf_counter()
@@ -58,10 +64,17 @@ def main():
     print(f"# warmup (incl. compile): {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
+    # Distinct per-iteration keys, materialized on device BEFORE the timed
+    # loop: an eager fold_in per iteration costs a dispatch round trip on
+    # remote backends and would serialize the pipeline (CLAUDE.md).
     n_iters = 10
+    keys = [jnp_asarray(k) for k in
+            np.asarray(jax.random.split(key, n_iters))]
+    sync(keys[-1])
+
     t0 = time.perf_counter()
     for i in range(n_iters):
-        out = step(jax.random.fold_in(key, i))
+        out = step(keys[i])
     sync(out)
     dt = (time.perf_counter() - t0) / n_iters
 

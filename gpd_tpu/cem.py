@@ -8,10 +8,12 @@ Gaussian mixture refit uses the accumulated surviving hand-set samples.
 Sampling uses explicit jax.random keys instead of the reference's unseeded
 rand()/mt19937.
 
-Multi-device: the per-iteration candidate evaluation shards the sample axis
-across a device mesh (see gpd_tpu.parallel.sharded); the accumulated sample
-set (the mixture centers) is gathered — the "psum of sufficient statistics"
-step of SURVEY.md §5.
+Multi-device: pass a ``jax.sharding.Mesh`` (``mesh=``) and every round's
+candidate evaluation shards the sample axis across it via
+``gpd_tpu.parallel.sharded.detect_sharded_raw``; the surviving grasp batch
+(and with it the mixture centers for the refit) is all-gathered when the
+sharded output is consumed — the "psum of sufficient statistics" step of
+SURVEY.md §5. Single-device when ``mesh`` is None.
 """
 
 from __future__ import annotations
@@ -86,13 +88,16 @@ class SequentialImportanceSampling:
     """CEM grasp detector (reference: include/gpd/
     sequential_importance_sampling.h)."""
 
-    def __init__(self, detector: GraspDetector, cem: CEMConfig):
+    def __init__(self, detector: GraspDetector, cem: CEMConfig,
+                 mesh=None, mesh_axis: str = "dp"):
         self.detector = detector
         self.cem = cem
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
 
     def detect(self, cloud: CloudArrays, key: Optional[jax.Array] = None,
                verbose: bool = True) -> Grasps:
-        cfg = self.detector.cfg
+        cfg = self.detector.effective_config(cloud)
         cem = self.cem
         key = key if key is not None else jax.random.PRNGKey(0)
         t0 = time.time()
@@ -107,13 +112,30 @@ class SequentialImportanceSampling:
         sample_pos = jnp.where(valid[:, None], cloud.points[idx], 1e6)
         cap = self.detector.image_cap(cem.num_samples_per_iteration)
 
+        mesh = self.mesh
+        n_dev = mesh.shape[self.mesh_axis] if mesh is not None else 1
+        if mesh is not None:
+            from gpd_tpu.parallel import sharded
+            cloud = sharded.replicate(mesh, cloud)
+            params = sharded.replicate(mesh, self.detector.params)
+            cap = self.detector.image_cap(
+                -(-cem.num_samples_per_iteration // n_dev))
+
         all_grasps = []
         all_centers = []
         all_center_masks = []
 
         def run_round(spos, smask, k):
-            g, _ = detect_core(cloud, spos, smask, self.detector.params,
-                               k, cfg, cap)
+            if mesh is not None and n_dev > 1:
+                from gpd_tpu.parallel import sharded
+                spos, smask = sharded.shard_samples(mesh, spos, smask,
+                                                    self.mesh_axis)
+                g = sharded.detect_sharded_raw(
+                    cloud, spos, smask, params, k, cfg, cap, mesh,
+                    self.mesh_axis)
+            else:
+                g, _ = detect_core(cloud, spos, smask, self.detector.params,
+                                   k, cfg, cap, scores_only=True)
             hg = cfg.hand_geometry
             g = sel.filter_grasps_workspace(
                 g, cfg.workspace_grasps, cfg.min_aperture, cfg.max_aperture,

@@ -31,10 +31,21 @@ PAD_COORD = 1.0e6
 
 
 def _next_size(n: int, minimum: int = 256) -> int:
-    """Round up to a friendly padded size (pow2-ish buckets limit recompiles)."""
+    """Round up to a friendly padded size.
+
+    Buckets are pow2 x {1.25, 1.5, 1.75, 2} multiples of 128 (~12.5% max
+    waste): fine enough that padded work tracks the real cloud size, coarse
+    enough to bound the number of compile-cache entries.
+    """
     s = minimum
     while s < n:
         s *= 2
+    if s == minimum:
+        return s
+    half = s // 2
+    for c in (half + half // 4, half + half // 2, half + 3 * half // 4):
+        if c >= n and c % 128 == 0:
+            return c
     return s
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Optional, Tuple
 
@@ -30,7 +31,7 @@ from gpd_tpu.ops import candidates as cand
 from gpd_tpu.ops import images as img
 from gpd_tpu.ops import preprocess as pp
 from gpd_tpu.ops.frames import estimate_frames
-from gpd_tpu.ops.neighbors import radius_neighbors
+from gpd_tpu.ops.neighbors import radius_mask, radius_neighbors
 from gpd_tpu.ops.normals import (estimate_normals, refine_normals,
                                  reverse_normals_cloud)
 
@@ -86,14 +87,18 @@ def _compact_hands(grasps: Grasps, cap: int) -> Grasps:
     return g
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "image_cap"))
+@functools.partial(jax.jit, static_argnames=("cfg", "image_cap",
+                                             "scores_only"))
 def detect_core(cloud: CloudArrays, sample_pos: jax.Array,
                 sample_mask: jax.Array, params, key: jax.Array,
-                cfg: DetectorConfig, image_cap: int) -> Tuple[Grasps, jax.Array]:
+                cfg: DetectorConfig, image_cap: int,
+                scores_only: bool = False) -> Tuple[Grasps, jax.Array]:
     """frames -> candidates -> filters -> images -> CNN scores.
 
-    Returns (compacted scored Grasps (image_cap,), images (for debug/training
-    reuse)). Pipeline = grasp_detector.cpp:192-273 steps 1-4.
+    Returns (scored Grasps in valid-first order, images). With
+    ``scores_only=True`` the image tensor is not returned (``None``): the
+    serving path never materializes the (G, 60, 60, C) uint8 batch in HBM.
+    Pipeline = grasp_detector.cpp:192-273 steps 1-4.
     """
     # 1. Candidate generation (stack 3.1 step 1).
     frames, fvalid = estimate_frames(
@@ -119,23 +124,53 @@ def detect_core(cloud: CloudArrays, sample_pos: jax.Array,
         img_mask = cloud.mask & ~inl
 
     # Per-sample image-radius neighborhoods, shared by the sample's hands
-    # (image_generator.cpp:42-64). Nearest-K ordering means the cap keeps
-    # the closest points, which cover the (much smaller) image volume.
+    # (image_generator.cpp:42-64). When the cap covers the cloud, use
+    # identity neighborhoods (whole cloud + in-radius mask): per-chunk
+    # (G, K, 3) point/normal gathers become broadcasts, which fuse — TPU
+    # gathers are lane-bound. Otherwise nearest-K keeps the closest points,
+    # which cover the (much smaller) image volume.
     k_img = min(cfg.image_neighbors_cap, cloud.points.shape[0])
-    nn_idx, nn_valid = radius_neighbors(
-        sample_pos, sample_mask, cloud.points, img_mask,
-        radius=cfg.image_radius, k=k_img)
+    identity_nn = k_img >= cloud.points.shape[0]
+    if identity_nn:
+        nn_valid, nn_d2 = radius_mask(sample_pos, sample_mask, cloud.points,
+                                      img_mask, cfg.image_radius)
+        nn_idx = None
+    else:
+        nn_idx, nn_valid = radius_neighbors(
+            sample_pos, sample_mask, cloud.points, img_mask,
+            radius=cfg.image_radius, k=k_img)
+        nn_d2 = None
 
     if cfg.image_geometry.num_channels == 15:
-        # Shadow sources: the nearest shadow_source_cap neighborhood points
-        # (occupied-voxel sets saturate quickly, so capping the ray sources
-        # bounds the sort cost with negligible occupancy change).
-        sc = min(cfg.shadow_source_cap, nn_idx.shape[1])
-        nn_pts_s = cloud.points[nn_idx[:, :sc]]
-        nn_cam_s = cloud.cam_source[nn_idx[:, :sc]]
+        # Shadow sources: up to shadow_source_cap of the nearest neighborhood
+        # points (occupied-voxel sets saturate quickly, so capping the ray
+        # sources bounds the dedup-sort cost with negligible occupancy
+        # change). Neighborhoods are not distance-ordered, so pick sources
+        # with an approximate top-k — the sources are a statistical sample
+        # and the shadow is jittered, so recall < 1 only perturbs which rays
+        # cast.
+        sc = min(cfg.shadow_source_cap, nn_valid.shape[1])
+        if sc < nn_valid.shape[1]:
+            if nn_d2 is None:
+                nn_d2 = jnp.sum(
+                    (sample_pos[:, None, :] - cloud.points[nn_idx]) ** 2,
+                    axis=-1)
+            negd, src_pos = jax.lax.approx_max_k(
+                jnp.where(nn_valid, -nn_d2, -jnp.inf), sc)
+            src_idx = (src_pos if identity_nn
+                       else jnp.take_along_axis(nn_idx, src_pos, axis=1))
+            src_valid = negd > -jnp.inf
+        elif identity_nn:
+            src_idx = jnp.broadcast_to(
+                jnp.arange(nn_valid.shape[1], dtype=jnp.int32),
+                nn_valid.shape)
+            src_valid = nn_valid
+        else:
+            src_idx, src_valid = nn_idx, nn_valid
         shadow_pts, shadow_valid = img.compute_shadows(
-            jax.random.fold_in(key, 2), nn_pts_s, nn_valid[:, :sc], nn_cam_s,
-            cloud.view_points, jnp.float32(img.shadow_length_of(cfg.image_geometry)),
+            jax.random.fold_in(key, 2), cloud.points[src_idx], src_valid,
+            cloud.cam_source[src_idx], cloud.view_points,
+            jnp.float32(img.shadow_length_of(cfg.image_geometry)),
             n_sp=img.num_shadow_points(cfg.image_geometry),
             v_cap=cfg.shadow_voxel_cap)
     else:
@@ -157,38 +192,52 @@ def detect_core(cloud: CloudArrays, sample_pos: jax.Array,
 
     def run_chunk(gc: Grasps):
         sid = gc.sample_id
-        h_idx = nn_idx[sid]
+        n = sid.shape[0]
         h_nvalid = nn_valid[sid] & gc.valid[:, None]
-        h_pts = cloud.points[h_idx]
-        h_nrm = cloud.normals[h_idx]
+        if identity_nn:
+            h_pts = jnp.broadcast_to(cloud.points[None],
+                                     (n,) + cloud.points.shape)
+            h_nrm = jnp.broadcast_to(cloud.normals[None],
+                                     (n,) + cloud.normals.shape)
+        else:
+            h_idx = nn_idx[sid]
+            h_pts = cloud.points[h_idx]
+            h_nrm = cloud.normals[h_idx]
         images = img.make_images(
             h_pts, h_nrm, h_nvalid, gc.orientation, gc.sample, gc.bottom,
             gc.center, gc.valid, ig,
             shadow_pts=None if shadow_pts is None else shadow_pts[sid],
             shadow_valid=None if shadow_valid is None else shadow_valid[sid])
         scores = lenet.score(params, images)
+        if scores_only:
+            return (scores,)
         return scores, images
 
     def skip_chunk(gc: Grasps):
         n = gc.valid.shape[0]
-        return (jnp.full((n,), -jnp.inf, jnp.float32),
-                jnp.zeros((n, ig.size, ig.size, ig.num_channels), jnp.uint8))
+        scores = jnp.full((n,), -jnp.inf, jnp.float32)
+        if scores_only:
+            return (scores,)
+        return scores, jnp.zeros((n, ig.size, ig.size, ig.num_channels),
+                                 jnp.uint8)
 
     def chunk_fn(gc: Grasps):
         # Valid-first ordering means trailing chunks are often all-invalid;
         # cond skips their image/score work entirely.
         return jax.lax.cond(jnp.any(gc.valid), run_chunk, skip_chunk, gc)
 
+    g = g_all
     if n_chunks == 1:
-        g = g_all
-        scores, images = chunk_fn(g)
+        out = chunk_fn(g)
+        scores = out[0]
+        images = None if scores_only else out[1]
     else:
-        g = g_all
         g_chunks = jax.tree_util.tree_map(
             lambda a: a.reshape((n_chunks, image_cap) + a.shape[1:]), g_all)
-        scores, images = jax.lax.map(chunk_fn, g_chunks)
-        scores = scores.reshape(-1)
-        images = images.reshape((-1,) + images.shape[2:])
+        out = jax.lax.map(chunk_fn, g_chunks)
+        scores = out[0].reshape(-1)
+        images = None if scores_only else out[1].reshape(
+            (-1,) + out[1].shape[2:])
 
     # 4. Classification scores attach to the ordered batch
     # (grasp_detector.cpp:267-273).
@@ -226,14 +275,22 @@ class GraspDetector:
         if params is not None:
             self.params = params
         else:
+            C = self.cfg.image_geometry.num_channels
             try:
-                self.params = lenet.load_params(
-                    self.cfg.weights_file, self.cfg.image_geometry.num_channels)
+                self.params = lenet.load_params(self.cfg.weights_file, C)
             except (FileNotFoundError, ValueError, OSError) as e:
-                print(f"WARNING: could not load classifier weights "
-                      f"({e}); using random initialization.")
-                self.params = lenet.init_params(
-                    jax.random.PRNGKey(0), self.cfg.image_geometry.num_channels)
+                # Fall back to the packaged trained checkpoint (the
+                # reference's models/lenet equivalent; needed e.g. for the
+                # reference cfgs whose ip1_weights.bin blob is missing from
+                # the snapshot).
+                default = lenet.default_params_path(C)
+                if os.path.exists(default):
+                    print(f"NOTE: {e}; using packaged checkpoint {default}.")
+                    self.params = lenet.load_params_npz(default)
+                else:
+                    print(f"WARNING: could not load classifier weights "
+                          f"({e}); using random initialization.")
+                    self.params = lenet.init_params(jax.random.PRNGKey(0), C)
         self.last_runtimes = {}
 
     # ---------------- preprocessing (stack 3.1 preprocess) ----------------
@@ -280,18 +337,31 @@ class GraspDetector:
     # ---------------- detection ----------------
 
     def image_cap(self, num_samples: int) -> int:
+        """Image/score chunk size: small enough that valid-first compaction
+        skips the all-invalid tail chunks (the usual case: well under half of
+        the raw orientation grid survives the feasibility filters)."""
         cfg = self.cfg
         total = num_samples * cfg.num_orientations * len(cfg.hand_axes)
-        return min(_next_size(total, 256), 4096)
+        return min(_next_size(total, 256), 512)
 
     def effective_config(self, cloud: CloudArrays) -> DetectorConfig:
-        """Clamp the neighbor cap to the cloud size: truncated neighborhoods
-        would silently drop collision points (the reference's kd-tree search
-        is uncapped), so K must cover the densest plausible neighborhood."""
-        n = int(np.asarray(cloud.mask).sum())
-        cap = min(self.cfg.search_neighbors_cap, _next_size(n, 256))
-        if cap != self.cfg.search_neighbors_cap:
-            return dataclasses.replace(self.cfg, search_neighbors_cap=cap)
+        """Clamp the neighbor caps to the cloud's padded capacity: truncated
+        search neighborhoods would silently drop collision points (the
+        reference's kd-tree search is uncapped), so K must cover the densest
+        plausible neighborhood — and any cap >= capacity takes the sort-free
+        full-cloud path in radius_neighbors."""
+        n = cloud.capacity
+        changes = {}
+        if self.cfg.search_neighbors_cap > n:
+            changes["search_neighbors_cap"] = n
+        # Image neighborhoods: when the cloud is close to (or under) the cap,
+        # covering it exactly is cheaper than the nearest-K truncation sort
+        # and drops no in-radius point the reference would keep.
+        if n <= 1.5 * self.cfg.image_neighbors_cap:
+            if self.cfg.image_neighbors_cap != n:
+                changes["image_neighbors_cap"] = n
+        if changes:
+            return dataclasses.replace(self.cfg, **changes)
         return self.cfg
 
     def detect(self, cloud: CloudArrays,
@@ -311,8 +381,9 @@ class GraspDetector:
 
             t_c0 = time.time()
             with profiling.span("detect_core"):
-                g, images = detect_core(cloud, sample_pos, sample_mask,
-                                        self.params, key, cfg, cap)
+                g, _ = detect_core(cloud, sample_pos, sample_mask,
+                                   self.params, key, cfg, cap,
+                                   scores_only=True)
                 g.valid.block_until_ready()
             t_detect = time.time() - t_c0
 

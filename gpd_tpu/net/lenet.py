@@ -84,18 +84,18 @@ def init_params_ccfff(key: jax.Array, num_channels: int = 15,
     }
 
 
-@functools.partial(jax.jit, static_argnames=("conv_relu",))
-def forward(params: Params, images_u8: jax.Array,
-            conv_relu: bool = True) -> jax.Array:
-    """images_u8: (G, H, W, C) uint8 -> logits (G, 2). Supports both the
-    2-fc Net and (when 'fc3_w' is present) the 3-fc NetCCFFF variant."""
+@functools.partial(jax.jit, static_argnames=("conv_relu", "compute_dtype"))
+def _forward_impl(params: Params, images_u8: jax.Array, conv_relu: bool,
+                  compute_dtype) -> jax.Array:
     x = images_u8.astype(jnp.float32) * (1.0 / 256.0)
-    x = jnp.transpose(x, (0, 3, 1, 2))                     # NCHW
+    x = jnp.transpose(x, (0, 3, 1, 2)).astype(compute_dtype)   # NCHW
 
     def conv(x, w, b):
+        # bf16 inputs with f32 accumulation: full MXU rate, and the uint8/256
+        # input quantization already dwarfs bf16 rounding.
         y = jax.lax.conv_general_dilated(
-            x, w, window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            x, w.astype(compute_dtype), window_strides=(1, 1),
+            padding="VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
             preferred_element_type=jnp.float32)
         return y + b[None, :, None, None]
 
@@ -103,22 +103,43 @@ def forward(params: Params, images_u8: jax.Array,
         return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
                                      (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
 
+    def dense(x, w, b):
+        y = jax.lax.dot_general(
+            x.astype(compute_dtype), w.astype(compute_dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        return y + b
+
     x = conv(x, params["conv1_w"], params["conv1_b"])
     if conv_relu:
         x = jnp.maximum(x, 0.0)
     x = pool2(x)
-    x = conv(x, params["conv2_w"], params["conv2_b"])
+    x = conv(x.astype(compute_dtype), params["conv2_w"], params["conv2_b"])
     if conv_relu:
         x = jnp.maximum(x, 0.0)
     x = pool2(x)
     x = x.reshape(x.shape[0], -1)                           # CHW flatten
-    x = x @ params["fc1_w"].T + params["fc1_b"]
+    x = dense(x, params["fc1_w"], params["fc1_b"])
     x = jnp.maximum(x, 0.0)
-    x = x @ params["fc2_w"].T + params["fc2_b"]
+    x = dense(x, params["fc2_w"], params["fc2_b"])
     if "fc3_w" in params:                                   # NetCCFFF
         x = jnp.maximum(x, 0.0)
-        x = x @ params["fc3_w"].T + params["fc3_b"]
+        x = dense(x, params["fc3_w"], params["fc3_b"])
     return x
+
+
+def forward(params: Params, images_u8: jax.Array, conv_relu: bool = True,
+            compute_dtype=None) -> jax.Array:
+    """images_u8: (G, H, W, C) uint8 -> logits (G, 2). Supports both the
+    2-fc Net and (when 'fc3_w' is present) the 3-fc NetCCFFF variant.
+
+    compute_dtype: matmul/conv input dtype. Default bfloat16 on accelerator
+    backends (the CNN tolerates it — CLAUDE.md precision notes apply to
+    geometry, not the classifier), float32 on CPU (keeps oracle tests exact).
+    """
+    if compute_dtype is None:
+        compute_dtype = (jnp.float32 if jax.default_backend() == "cpu"
+                         else jnp.bfloat16)
+    return _forward_impl(params, images_u8, conv_relu, compute_dtype)
 
 
 def score(params: Params, images_u8: jax.Array, conv_relu: bool = True) -> jax.Array:
@@ -157,8 +178,17 @@ def load_params_bin(params_dir: str, num_channels: int = 15) -> Params:
 
 
 def load_params_npz(path: str) -> Params:
+    # Checkpoints may be stored float16 to halve repo size; compute in f32.
     data = np.load(path)
-    return {k: jnp.asarray(data[k]) for k in data.files}
+    return {k: jnp.asarray(data[k].astype(np.float32)) for k in data.files}
+
+
+def default_params_path(num_channels: int) -> str:
+    """Path of the packaged trained checkpoint for a channel count (the
+    TPU-native analog of the reference's shipped models/lenet/<C>channels
+    weights, eigen_classifier.cpp:28-50)."""
+    return os.path.join(os.path.dirname(__file__), "..", "models",
+                        f"lenet_{num_channels}ch.npz")
 
 
 def save_params_npz(path: str, params: Params) -> None:

@@ -31,7 +31,7 @@ import numpy as np
 
 from gpd_tpu.config import DetectorConfig, HandGeometry
 from gpd_tpu.core.types import Grasps
-from gpd_tpu.ops.neighbors import radius_neighbors
+from gpd_tpu.ops.neighbors import radius_mask, radius_neighbors
 
 _NEG = jnp.float32(-1e9)
 _POS = jnp.float32(1e9)
@@ -110,15 +110,35 @@ def _evaluate_placements(x, y, hcrop, bite, fs, fw, p: SearchParams):
     """evaluateFingers for all 2P placements at a given bite
     (finger_hand.cpp:26-73). x/y: (..., K) hand-frame coords; hcrop: (..., K)
     height-crop-and-validity mask. Returns (fingers (..., 2P), cropped mask)."""
-    crop = hcrop & (x < bite)
-    abort = jnp.any(hcrop & (x < bite - p.hand_depth), axis=-1)
-    any_crop = jnp.any(crop, axis=-1)
-    # collision per placement: any cropped point inside the finger slab
-    in_slab = (y[..., None, :] > fs[:, None]) & \
-        (y[..., None, :] < (fs + fw)[:, None])            # (..., 2P, K)
-    coll = jnp.any(crop[..., None, :] & in_slab, axis=-1)  # (..., 2P)
-    ok = (any_crop & ~abort)[..., None]
-    return ok & ~coll, crop
+    minx_all, minx_slab = _placement_minima(x, y, hcrop, fs, fw)
+    fingers = _placements_at_bite(minx_all, minx_slab, bite, p)
+    return fingers, hcrop & (x < bite)
+
+
+def _placement_minima(x, y, hcrop, fs, fw):
+    """Sufficient statistics for every bite test (finger_hand.cpp:26-73):
+    because ``crop = hcrop & (x < bite)`` and collisions/aborts are
+    existentials over crop, each reduces to comparing a masked min-x against
+    the bite. One (..., 2P, K) reduction replaces the per-depth slab scans.
+
+    Returns (minx_all (...,), minx_slab (..., 2P)): min hand-frame x over the
+    height-cropped points, and over those inside each finger slab.
+    """
+    minx_all = _masked_min(x, hcrop, axis=-1)
+    in_slab = hcrop[..., None, :] & (y[..., None, :] > fs[:, None]) & \
+        (y[..., None, :] < (fs + fw)[:, None])             # (..., 2P, K)
+    minx_slab = _masked_min(x[..., None, :], in_slab, axis=-1)
+    return minx_all, minx_slab
+
+
+def _placements_at_bite(minx_all, minx_slab, bite, p: SearchParams):
+    """fingers(..., 2P) at a given bite from the min-x statistics:
+    any_crop = exists x < bite; abort = exists x < bite - depth;
+    collision(p) = exists slab-p point with x < bite."""
+    any_crop = minx_all < bite
+    abort = minx_all < bite - p.hand_depth
+    coll = minx_slab < bite
+    return (any_crop & ~abort)[..., None] & ~coll
 
 
 def _middle_placement(hand_ok):
@@ -162,64 +182,73 @@ def _antipodal_label(x, y, z, ny, closing, p: SearchParams):
     return full, half & any_close
 
 
-def _eval_orientation(rel, nrm, nvalid, frames, rfix, p: SearchParams):
-    """Evaluate one (axis, orientation) slot for all samples at once.
+def _eval_orientations(rel, nrm, nvalid, frames, rfix, p: SearchParams):
+    """Evaluate EVERY (axis, orientation) slot for all samples in one fused
+    batch — no sequential orientation loop, so the VPU sees one large
+    (M, S, K) program instead of M small ones.
 
     rel: (S, K, 3) neighbor offsets from sample; nrm: (S, K, 3) normals;
-    nvalid: (S, K); frames: (S, 3, 3); rfix: (3, 3) static rotation.
+    nvalid: (S, K); frames: (S, 3, 3); rfix: (M, 3, 3) static rotations.
     Implements hand_set.cpp:49-116 + finger_hand.cpp + antipodal labeling.
+    deepenHand's break-on-first-failure scan collapses to closed form via
+    the min-x statistics (see _placement_minima): the hand stays collision-
+    free up to depth Dmax = min(minx_slab_l, minx_slab_r, minx_all + depth),
+    and needs a cropped point at the first step (d0 > minx_all).
     """
-    R = jnp.einsum("sij,jk->sik", frames, rfix, precision=jax.lax.Precision.HIGHEST)  # (S, 3, 3)
-    pts = jnp.einsum("skj,sji->ski", rel, R, precision=jax.lax.Precision.HIGHEST)  # hand-frame points
-    nh = jnp.einsum("skj,sji->ski", nrm, R, precision=jax.lax.Precision.HIGHEST)  # hand-frame normals
+    R = jnp.einsum("sij,mjk->msik", frames, rfix,
+                   precision=jax.lax.Precision.HIGHEST)   # (M, S, 3, 3)
+    pts = jnp.einsum("skj,msji->mski", rel, R,
+                     precision=jax.lax.Precision.HIGHEST)  # hand-frame points
+    nh = jnp.einsum("skj,msji->mski", nrm, R,
+                    precision=jax.lax.Precision.HIGHEST)   # hand-frame normals
     x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
     ny = nh[..., 1]
 
-    hcrop = nvalid & (z > -p.hand_height) & (z < p.hand_height)
+    hcrop = nvalid[None] & (z > -p.hand_height) & (z < p.hand_height)
 
     fs = jnp.asarray(p.spacing, jnp.float32)
     fw = jnp.float32(p.finger_width)
     P = p.num_placements
 
-    fingers, _ = _evaluate_placements(x, y, hcrop, jnp.float32(p.init_bite),
-                                      fs, fw, p)
-    hand_ok = fingers[..., :P] & fingers[..., P:]        # (S, P)
+    minx_all, minx_slab = _placement_minima(x, y, hcrop, fs, fw)
+    fingers = _placements_at_bite(minx_all, minx_slab,
+                                  jnp.float32(p.init_bite), p)
+    hand_ok = fingers[..., :P] & fingers[..., P:]        # (M, S, P)
     valid0 = jnp.any(hand_ok, axis=-1)
-    mid = _middle_placement(hand_ok)                     # (S,)
+    mid = _middle_placement(hand_ok)                     # (M, S)
 
+    minx_l = jnp.take_along_axis(minx_slab, mid[..., None],
+                                 axis=-1)[..., 0]
+    minx_r = jnp.take_along_axis(minx_slab, (mid + P)[..., None],
+                                 axis=-1)[..., 0]
     fs_l = fs[mid]                                       # left slab start
     fs_r = fs[mid + P]                                   # right slab start
 
     if p.deepen_hand and len(p.depths) > 0:
-        # deepenHand (finger_hand.cpp:107-139): advance while both fingers
-        # stay free; stop at first failure (cumulative AND).
+        # deepenHand (finger_hand.cpp:107-139): ok(d) factors into a
+        # monotone-increasing condition (any cropped point: d > minx_all,
+        # decided at the first step) and monotone-decreasing ones
+        # (no collision/abort: d <= Dmax), so the cumulative-AND survivor
+        # count is just #{depths <= Dmax}, gated on the first step.
         depths = jnp.asarray(p.depths, jnp.float32)      # (T,)
-        d = depths[:, None, None]                        # (T, S, 1)
-        xb = x[None]
-        yb = y[None]
-        hb = hcrop[None]
-        crop_d = hb & (xb < d)
-        abort_d = jnp.any(hb & (xb < d - p.hand_depth), axis=-1)
-        any_d = jnp.any(crop_d, axis=-1)
-        coll_l = jnp.any(crop_d & (yb > fs_l[None, :, None]) &
-                         (yb < (fs_l + fw)[None, :, None]), axis=-1)
-        coll_r = jnp.any(crop_d & (yb > fs_r[None, :, None]) &
-                         (yb < (fs_r + fw)[None, :, None]), axis=-1)
-        ok_t = ~abort_d & any_d & ~coll_l & ~coll_r      # (T, S)
-        alive = jnp.cumprod(ok_t.astype(jnp.int32), axis=0).astype(bool)
-        n_alive = jnp.sum(alive, axis=0)                 # (S,)
+        dmax = jnp.minimum(jnp.minimum(minx_l, minx_r),
+                           minx_all + p.hand_depth)      # (M, S)
+        first_ok = depths[0] > minx_all
+        n_alive = jnp.where(
+            first_ok,
+            jnp.sum(depths[:, None, None] <= dmax[None], axis=0), 0)
         top = jnp.where(n_alive > 0, depths[jnp.maximum(n_alive - 1, 0)],
                         jnp.float32(p.init_bite))
     else:
-        top = jnp.full(x.shape[0], p.init_bite, jnp.float32)
+        top = jnp.full(x.shape[:2], p.init_bite, jnp.float32)
 
     bottom = top - p.hand_depth
     left = fs_l + fw
     right = fs_r
     center = 0.5 * (left + right)
 
-    closing = hcrop & (x > bottom[:, None]) & (x < top[:, None]) & \
-        (y > left[:, None]) & (y < right[:, None])
+    closing = hcrop & (x > bottom[..., None]) & (x < top[..., None]) & \
+        (y > left[..., None]) & (y < right[..., None])
     any_closing = jnp.any(closing, axis=-1)
     valid = valid0 & any_closing
 
@@ -230,8 +259,9 @@ def _eval_orientation(rel, nrm, nvalid, frames, rfix, p: SearchParams):
 
     # Hand pose (hand.cpp:41-45): position = frame * [bottom, center, 0]^T + s.
     pos_local = jnp.stack(
-        [bottom, center, jnp.zeros_like(bottom)], axis=-1)   # (S, 3)
-    pos_world = jnp.einsum("sij,sj->si", R, pos_local, precision=jax.lax.Precision.HIGHEST)
+        [bottom, center, jnp.zeros_like(bottom)], axis=-1)   # (M, S, 3)
+    pos_world = jnp.einsum("msij,msj->msi", R, pos_local,
+                           precision=jax.lax.Precision.HIGHEST)
 
     return dict(R=R, pos=pos_world, top=top, bottom=bottom, center=center,
                 width=width, mid=mid, valid=valid,
@@ -241,16 +271,19 @@ def _eval_orientation(rel, nrm, nvalid, frames, rfix, p: SearchParams):
 @functools.partial(jax.jit, static_argnames=("params", "k"))
 def _search_kernel(points, normals, pmask, sample_pos, frames, frame_valid,
                    radius, rfix, params: SearchParams, k: int):
-    idx, nvalid = radius_neighbors(sample_pos, frame_valid, points, pmask,
-                                   radius=radius, k=k)
-    rel = points[idx] - sample_pos[:, None, :]
-    nrm = normals[idx]
-
-    def step(rf):
-        return _eval_orientation(rel, nrm, nvalid, frames, rf, params)
-
-    out = jax.lax.map(step, rfix)        # dict of (M, S, ...) arrays
-    return out
+    if k >= points.shape[0]:
+        # Whole-cloud neighborhoods: broadcast instead of gathering — TPU
+        # gathers are lane-bound while broadcasts fuse into the consumers.
+        nvalid, _ = radius_mask(sample_pos, frame_valid, points, pmask,
+                                radius)
+        rel = points[None, :, :] - sample_pos[:, None, :]
+        nrm = jnp.broadcast_to(normals[None, :, :], rel.shape)
+    else:
+        idx, nvalid = radius_neighbors(sample_pos, frame_valid, points, pmask,
+                                       radius=radius, k=k)
+        rel = points[idx] - sample_pos[:, None, :]
+        nrm = normals[idx]
+    return _eval_orientations(rel, nrm, nvalid, frames, rfix, params)
 
 
 def search_hands(cloud, sample_pos: jax.Array, sample_mask: jax.Array,

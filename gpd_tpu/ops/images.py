@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from gpd_tpu.config import ImageGeometry
 
 SHADOW_VOXEL = 0.003
+_POS = jnp.float32(1e9)
 
 
 def _use_pallas() -> bool:
@@ -39,7 +40,7 @@ def _use_pallas() -> bool:
 
 
 def _raster_sums_pallas(rows, cols, aug, size: int,
-                        precision=jax.lax.Precision.HIGHEST):
+                        precision=jax.lax.Precision.DEFAULT):
     """Per-cell sums via a Pallas TPU kernel, one grid step per hand.
 
     Factorized-onehot formulation: instead of materializing the full
@@ -93,11 +94,11 @@ def _raster_sums_pallas(rows, cols, aug, size: int,
         cv = jnp.where(colj_ref[:] == cols_k, vals_rep, 0.0)   # (N, Kp)
         rr = jax.lax.broadcasted_iota(jnp.int32, (R, Kp), 0)
         rowhot = jnp.where(rows_k == rr, 1.0, 0.0)       # (R, Kp)
-        # The rowhot operand is exact in any matmul dtype; `precision`
-        # guards the value operand against bf16 input rounding (HIGHEST is
-        # within float32 rounding of the NumPy histogram; DEFAULT costs
-        # ~2e-3 relative on the value channels, sub-uint8-step after the
-        # minmax normalize, with exact counts either way).
+        # The rowhot operand is exact in any matmul dtype, so counts are
+        # exact at every precision. DEFAULT (one bf16 MXU pass, 6x fewer
+        # passes than HIGHEST) costs ~2e-3 relative on the value channels —
+        # sub-uint8-step after the minmax normalize — and is the default;
+        # pass HIGHEST for bit-level histogram comparisons.
         o_ref[0] = jax.lax.dot_general(
             rowhot, cv, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -162,7 +163,18 @@ def compute_shadows(key, nn_pts, nn_valid, nn_cam, view_points,
     cam_seen = jnp.any(seen_pt, axis=1)                              # (S, V)
 
     inv_vox = 1.0 / SHADOW_VOXEL
-    OFF = jnp.int32(512)
+
+    # Voxel keys are packed relative to a per-sample base voxel so the
+    # 10-bit fields never alias regardless of where the workspace sits
+    # (world-frame packing with a fixed 512 offset aliased beyond ~1.5 m).
+    # Cell boundaries stay world-anchored with the reference's cast<int>
+    # truncation semantics (hand_set.cpp:156-160); only the *encoding* is
+    # relative. Ray points lie within shadow_length of a source point, so
+    # base = trunc((min source coord - shadow_length) / voxel) - 2 bounds
+    # every offset into [0, ~2*(radius+shadow)/voxel + 4] << 1024.
+    pmin = jnp.min(jnp.where(nn_valid[..., None], nn_pts, _POS), axis=1)
+    base = jnp.clip(jnp.trunc((pmin - shadow_length) * inv_vox),
+                    -2.0 ** 30, 2.0 ** 30).astype(jnp.int32) - 2     # (S, 3)
 
     def cam_voxels(c, subkey):
         vec = center - view_points[c][None, :]                       # (S, 3)
@@ -171,8 +183,8 @@ def compute_shadows(key, nn_pts, nn_valid, nn_cam, view_points,
         u = jax.random.uniform(subkey, (S, K, n_sp))
         q = nn_pts[:, :, None, :] + u[..., None] * vec[:, None, None, :]
         vox = jnp.trunc(q * inv_vox).astype(jnp.int32)               # C++ cast<int>
-        key_ = (((vox[..., 0] + OFF) << 20) | ((vox[..., 1] + OFF) << 10)
-                | (vox[..., 2] + OFF))
+        rel = vox - base[:, None, None, :]
+        key_ = (rel[..., 0] << 20) | (rel[..., 1] << 10) | rel[..., 2]
         key_ = jnp.where(nn_valid[:, :, None], key_, jnp.int32(2 ** 30))
         return key_.reshape(S, K * n_sp)
 
@@ -191,15 +203,19 @@ def compute_shadows(key, nn_pts, nn_valid, nn_cam, view_points,
         member = jnp.take_along_axis(oc, pos, axis=1) == cam0
         valid = valid & jnp.where(cam_seen[:, c:c + 1], member, True)
 
-    # Compact unique voxels to the front, cap at v_cap.
+    # Compact unique voxels to the front, cap at v_cap. The voxel keys are
+    # their own sort keys (unique among valid entries), so a top_k of the
+    # v_cap smallest keys IS the compaction — much cheaper than a second
+    # full argsort over K*n_sp.
     v_cap = min(v_cap, K * n_sp)
-    order = jnp.argsort(~valid, axis=1, stable=True)
-    cam0c = jnp.take_along_axis(cam0, order[:, :v_cap], axis=1)
-    validc = jnp.take_along_axis(valid, order[:, :v_cap], axis=1)
+    skey = jnp.where(valid, cam0, jnp.int32(2 ** 30))
+    neg, _ = jax.lax.top_k(-skey, v_cap)
+    cam0c = -neg
+    validc = cam0c < 2 ** 30
 
-    vx = ((cam0c >> 20) & 0x3FF) - OFF
-    vy = ((cam0c >> 10) & 0x3FF) - OFF
-    vz = (cam0c & 0x3FF) - OFF
+    vx = ((cam0c >> 20) & 0x3FF) + base[:, None, 0]
+    vy = ((cam0c >> 10) & 0x3FF) + base[:, None, 1]
+    vz = (cam0c & 0x3FF) + base[:, None, 2]
     vox = jnp.stack([vx, vy, vz], axis=-1).astype(jnp.float32)
 
     # Voxels -> points with shared-scalar N(0,1)*0.3*voxel jitter

@@ -26,6 +26,23 @@ from gpd_tpu.core.types import PAD_COORD
 _BIG = jnp.float32(1e12)
 
 
+def radius_mask(query: jax.Array, query_mask: jax.Array, points: jax.Array,
+                points_mask: jax.Array, radius) -> Tuple[jax.Array, jax.Array]:
+    """(Q, N) in-radius membership mask + squared distances.
+
+    The sort-free special case of radius_neighbors for callers that keep the
+    whole cloud as every query's neighborhood (identity indexing): one MXU
+    distance matmul, no top_k, no gather downstream.
+    """
+    p2 = jnp.sum(points * points, axis=1)
+    q2 = jnp.sum(query * query, axis=1)
+    cross = jnp.matmul(query, points.T, precision=jax.lax.Precision.HIGHEST)
+    d2 = q2[:, None] + p2[None, :] - 2.0 * cross
+    r2 = jnp.float32(radius) ** 2
+    valid = (d2 <= r2) & points_mask[None, :] & query_mask[:, None]
+    return valid, d2
+
+
 def _block_topk(qpos, qmask, points, pmask, k: int):
     """One block: (B,3) queries vs (N,3) points -> (B,k) idx + dist2."""
     p2 = jnp.sum(points * points, axis=1)                      # (N,)
@@ -63,6 +80,19 @@ def radius_neighbors(query: jax.Array, query_mask: jax.Array,
     n = points.shape[0]
     k_eff = min(k, n)
     r2 = jnp.float32(radius) ** 2
+
+    if k_eff == n:
+        # Cap covers the whole cloud: no truncation, so the distance-ascending
+        # ordering (only needed to decide WHICH neighbors survive the cap)
+        # is irrelevant — skip the expensive per-row top_k sort entirely and
+        # return identity indices with an in-radius mask.
+        valid, _ = radius_mask(query, query_mask, points, points_mask, radius)
+        idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (q, n))
+        if k > n:
+            idx = jnp.pad(idx, ((0, 0), (0, k - n)))
+            valid = jnp.pad(valid, ((0, 0), (0, k - n)))
+        return idx, valid
+
     nblk = -(-q // block)
     pad_q = nblk * block - q
     qpos = jnp.pad(query, ((0, pad_q), (0, 0)), constant_values=PAD_COORD)

@@ -68,20 +68,35 @@ def sharded_detect(cloud: CloudArrays, sample_pos, sample_mask, params,
     all-gather when the result is consumed replicated) and global
     selection/clustering runs on the merged set.
     """
+    gshard = detect_sharded_raw(cloud, sample_pos, sample_mask, params, key,
+                                cfg, image_cap, mesh, axis)
+    return select_and_cluster(gshard, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "image_cap", "mesh",
+                                             "axis"))
+def detect_sharded_raw(cloud: CloudArrays, sample_pos, sample_mask, params,
+                       key, cfg: DetectorConfig, image_cap: int, mesh: Mesh,
+                       axis: str = "dp") -> Grasps:
+    """Candidate-parallel detect_core WITHOUT selection: each device scores
+    its sample shard; the concatenated (all-gathered when consumed
+    replicated) Grasps batch comes back for the caller's own outer loop —
+    CEM uses this to refit its Gaussian mixture on the merged survivor set
+    (the psum/all_gather-of-sufficient-statistics step, SURVEY.md §5;
+    reference: sequential_importance_sampling.cpp:112-157)."""
     def local(cloud_l, spos_l, smask_l, params_l, key_l):
         me = jax.lax.axis_index(axis)
         g, _ = detect_core(cloud_l, spos_l, smask_l, params_l,
-                           jax.random.fold_in(key_l, me), cfg, image_cap)
+                           jax.random.fold_in(key_l, me), cfg, image_cap,
+                           scores_only=True)
         return g
 
-    gshard = jax.shard_map(
+    return jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(), P()),
         out_specs=P(axis),
         check_vma=False,
     )(cloud, sample_pos, sample_mask, params, key)
-
-    return select_and_cluster(gshard, cfg)
 
 
 def sharded_detect_host(detector, cloud: CloudArrays, sample_pos, sample_mask,

@@ -68,3 +68,30 @@ class TestCEMDetect:
         cem = CEMConfig.from_file("/root/reference/cfg/cem_vino_params.cfg")
         assert cem.num_iterations >= 1
         assert 0.0 <= cem.prob_rand_samples <= 1.0
+
+    def test_end_to_end_sharded_8dev(self, rng):
+        """CEM over an 8-device mesh: every round's evaluation is
+        candidate-parallel (detect_sharded_raw) and the mixture refit uses
+        the gathered survivor set — the docstring contract of gpd_tpu.cem."""
+        from gpd_tpu.parallel.sharded import default_mesh
+
+        pts, nrm = cylinder_cloud(rng)
+        cloud = CloudArrays.from_numpy(pts, normals=nrm)
+        cfg = DetectorConfig(search_neighbors_cap=256, frame_neighbors_cap=32,
+                             normals_neighbors_cap=32, shadow_voxel_cap=256,
+                             min_inliers=0, num_selected=20)
+        det = GraspDetector(cfg)
+        cem = CEMConfig(num_init_samples=8, num_iterations=2,
+                        num_samples_per_iteration=16, min_score=-1e9)
+        mesh = default_mesh(8)
+        assert mesh.shape["dp"] == 8
+        sis = SequentialImportanceSampling(det, cem, mesh=mesh)
+        out = sis.detect(cloud, key=jax.random.PRNGKey(0), verbose=False)
+        n = int(np.asarray(out.valid).sum())
+        assert n > 0
+        # Survivors are real geometry: orthonormal rotations, near the cloud.
+        R = np.asarray(out.orientation)[np.asarray(out.valid)]
+        err = np.abs(R @ np.transpose(R, (0, 2, 1)) - np.eye(3)).max()
+        assert err < 1e-3
+        pos = np.asarray(out.position)[np.asarray(out.valid)]
+        assert (np.linalg.norm(pos, axis=1) < 0.3).all()

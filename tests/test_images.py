@@ -137,6 +137,47 @@ class TestShadow:
     def test_num_shadow_points(self):
         assert img.num_shadow_points(ImageGeometry()) == 33
 
+    def test_translation_invariance_far_workspace(self, rng):
+        """Voxel keys must not alias for clouds far from the origin
+        (regression: the old world-frame 10-bit packing with OFF=512 wrapped
+        beyond ~1.5 m): a cloud translated to (2, 2, 0.5) m must yield the
+        same shadow voxel pattern, up to the world-anchored trunc() grid
+        shift — so compare occupancy counts and relative geometry."""
+        geom = ImageGeometry(num_channels=15)
+        S, K = 2, 120
+        # Base cloud in the positive octant (the reference's cast<int>
+        # truncation grid is only shift-equivariant away from the origin —
+        # same in C++), shifted to a 2 m workspace.
+        pts = (0.3 + rng.uniform(-0.02, 0.02, size=(S, K, 3))).astype(
+            np.float32)
+        vp = np.array([[0.3, 0.3, 1.3]], np.float32)
+        t = np.array([2.0, 2.0, 0.5], np.float32)
+        # Multiple of the voxel size so the trunc() grid lands identically
+        # and the comparison can be exact.
+        t = (np.round(t / img.SHADOW_VOXEL) * img.SHADOW_VOXEL).astype(
+            np.float32)
+        kwargs = dict(n_sp=img.num_shadow_points(geom), v_cap=4096)
+        sp0, sv0 = img.compute_shadows(
+            jax.random.PRNGKey(0), jnp.asarray(pts), jnp.ones((S, K), bool),
+            jnp.ones((S, K), np.uint32), jnp.asarray(vp),
+            jnp.float32(img.shadow_length_of(geom)), **kwargs)
+        sp1, sv1 = img.compute_shadows(
+            jax.random.PRNGKey(0), jnp.asarray(pts + t),
+            jnp.ones((S, K), bool), jnp.ones((S, K), np.uint32),
+            jnp.asarray(vp + t), jnp.float32(img.shadow_length_of(geom)),
+            **kwargs)
+        sv0, sv1 = np.asarray(sv0), np.asarray(sv1)
+        sp0, sp1 = np.asarray(sp0), np.asarray(sp1)
+        # Same unique-voxel count up to f32 cell-boundary flips (the old
+        # aliased packing collapsed distinct voxels onto shared keys, which
+        # slashes the count and scrambles decoded positions).
+        n0, n1 = sv0.sum(1), sv1.sum(1)
+        assert (np.abs(n0 - n1) <= 0.02 * n0 + 2).all(), (n0, n1)
+        # Decoded positions stay near the translated cloud.
+        for s in range(S):
+            d = np.linalg.norm(sp1[s][sv1[s]] - (pts[s].mean(0) + t), axis=1)
+            assert d.max() < img.shadow_length_of(geom) + 0.05
+
     def test_two_camera_intersection_smaller(self, rng):
         geom = ImageGeometry(num_channels=15)
         S, K = 1, 150

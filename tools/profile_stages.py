@@ -76,18 +76,34 @@ def main():
         k=k_img))
     print(f"image nn:      {t_nn*1e3:9.2f} ms")
 
-    # Stage 4: shadows.
-    sc = min(cfg.shadow_source_cap, nn_idx.shape[1])
-    t_sh, (shadow_pts, shadow_valid) = timeit(lambda: img.compute_shadows(
-        key, cloud.points[nn_idx[:, :sc]], nn_valid[:, :sc],
-        cloud.cam_source[nn_idx[:, :sc]], cloud.view_points,
-        jnp.float32(img.shadow_length_of(cfg.image_geometry)),
-        n_sp=img.num_shadow_points(cfg.image_geometry),
-        v_cap=cfg.shadow_voxel_cap))
+    # Stage 4: shadows (nearest-sc source selection as in detect_core).
+    @jax.jit
+    def shadow_fn():
+        sc = min(cfg.shadow_source_cap, nn_idx.shape[1])
+        if sc < nn_idx.shape[1]:
+            d2 = jnp.sum(
+                (spos[:, None, :] - cloud.points[nn_idx]) ** 2, axis=-1)
+            negd, src_pos = jax.lax.approx_max_k(
+                jnp.where(nn_valid, -d2, -jnp.inf), sc)
+            src_idx = jnp.take_along_axis(nn_idx, src_pos, axis=1)
+            src_valid = negd > -jnp.inf
+        else:
+            src_idx, src_valid = nn_idx, nn_valid
+        return img.compute_shadows(
+            key, cloud.points[src_idx], src_valid,
+            cloud.cam_source[src_idx], cloud.view_points,
+            jnp.float32(img.shadow_length_of(cfg.image_geometry)),
+            n_sp=img.num_shadow_points(cfg.image_geometry),
+            v_cap=cfg.shadow_voxel_cap)
+
+    t_sh, (shadow_pts, shadow_valid) = timeit(shadow_fn)
     print(f"shadows:       {t_sh*1e3:9.2f} ms")
 
-    # Stage 5: rasterization for the full batch (one chunk of size cap).
-    g = grasps.take(jnp.arange(cap))
+    # Stage 5: rasterization for one full valid-first chunk of size cap.
+    order = jnp.argsort(~grasps.valid, stable=True)
+    g = grasps.take(order[:cap])
+    n_valid_cand = int(np.asarray(grasps.valid).sum())
+    print(f"valid candidates: {n_valid_cand} / {grasps.capacity}")
     sid = g.sample_id
     h_idx = nn_idx[sid]
     h_nvalid = nn_valid[sid] & g.valid[:, None]
@@ -107,7 +123,7 @@ def main():
 
     # Full fused pipelines for comparison.
     t_core, (gout, _) = timeit(lambda: detect_core(
-        cloud, spos, smask, det.params, key, cfg, cap))
+        cloud, spos, smask, det.params, key, cfg, cap, scores_only=True))
     print(f"detect_core:   {t_core*1e3:9.2f} ms")
     t_sel, _ = timeit(lambda: select_and_cluster(gout, cfg))
     print(f"select:        {t_sel*1e3:9.2f} ms")
