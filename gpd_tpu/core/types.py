@@ -121,8 +121,10 @@ class CloudArrays:
             view_points=jnp.asarray(view_points),
         )
 
-    def compact_host(self) -> "CloudArrays":
-        """Drop padded slots (host sync) and re-pad to a snug bucket."""
+    def compact_host(self, capacity: Optional[int] = None) -> "CloudArrays":
+        """Drop padded slots (host sync) and re-pad to a snug bucket, or to
+        a caller-fixed ``capacity`` (batch jobs pin one capacity across many
+        clouds so every downstream kernel compiles once)."""
         mask = np.asarray(self.mask)
         idx = np.nonzero(mask)[0]
         return CloudArrays.from_numpy(
@@ -130,6 +132,7 @@ class CloudArrays:
             view_points=np.asarray(self.view_points),
             cam_source=np.asarray(self.cam_source)[idx],
             normals=np.asarray(self.normals)[idx],
+            capacity=capacity,
         )
 
 

@@ -189,7 +189,8 @@ class DataGenerator:
                  writer_train: HDF5ShardWriter,
                  writer_test: Optional[HDF5ShardWriter] = None,
                  seed: int = 0,
-                 process_index: int = 0, process_count: int = 1) -> None:
+                 process_index: int = 0, process_count: int = 1,
+                 total_items: Optional[int] = None) -> None:
         """Drive generation over a work-list of (object_name, view_id,
         view_cloud, mesh_cloud); shards round-robin across hosts and resumes
         from the journal."""
@@ -208,25 +209,91 @@ class DataGenerator:
             writer.append(obj, view, images, labels)
             n_done += 1
             dt = time.time() - t0
-            print(f"[{obj}:{view}] {len(labels)} instances "
-                  f"({int(labels.sum())} pos), {dt/max(n_done,1):.1f}s/view")
+            # Per-view rate + ETA like the reference
+            # (data_generator.cpp:230-247); total_items is a hint since the
+            # work-list streams lazily.
+            per = dt / max(n_done, 1)
+            msg = (f"[{obj}:{view}] {len(labels)} instances "
+                   f"({int(labels.sum())} pos), {per:.1f}s/view")
+            if total_items:
+                n_mine = -(-(total_items - process_index) // process_count)
+                rem = per * max(n_mine - n_done, 0)
+                msg += (f", ETA {int(rem // 3600)}h "
+                        f"{int(rem % 3600 // 60)}m {int(rem % 60)}s")
+            print(msg, flush=True)
 
 
-def multiview_transform(pose_cam: np.ndarray, pose_table: np.ndarray) -> np.ndarray:
-    """Compose the per-view camera->table transform used for BigBIRD
-    multi-view fusion (data_generator.cpp:617-689 createMultiViewCloud /
-    calculateTransform): T = T_table^-1 @ T_cam."""
-    return np.linalg.inv(pose_table) @ pose_cam
+def read_pose_hdf5(path: str, dsname: str) -> np.ndarray:
+    """Read a 4x4 pose matrix from a BigBIRD HDF5 file
+    (data_generator.cpp:691-701 readPoseFromHDF5)."""
+    import h5py
+    with h5py.File(path, "r") as f:
+        mat = np.asarray(f[dsname], dtype=np.float32)
+    if mat.shape != (4, 4):
+        raise ValueError(f"{path}:{dsname}: expected (4,4), got {mat.shape}")
+    return mat
+
+
+def calculate_transform(data_root: str, obj: str, camera: int, angle: int,
+                        reference_camera: int) -> np.ndarray:
+    """Camera->table transform for one BigBIRD view
+    (data_generator.cpp:667-689 calculateTransform):
+
+        T = H_table_from_ref(angle) @ inv(H_NP<camera>_from_NP<ref>)
+
+    from <obj>/poses/NP<ref>_<angle>_pose.h5 and <obj>/calibration.h5.
+    """
+    pose_file = os.path.join(
+        data_root, obj, "poses",
+        f"NP{reference_camera}_{angle}_pose.h5")
+    t_table_from_ref = read_pose_hdf5(pose_file,
+                                      "H_table_from_reference_camera")
+    calib_file = os.path.join(data_root, obj, "calibration.h5")
+    t_cam_from_ref = read_pose_hdf5(
+        calib_file, f"H_NP{camera}_from_NP{reference_camera}")
+    return t_table_from_ref @ np.linalg.inv(t_cam_from_ref)
 
 
 def fuse_views(clouds: Sequence[np.ndarray],
-               transforms: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
-    """Transform per-view clouds into a common frame and concatenate, with a
-    block camera-source bitmask (data_generator.cpp:617-665)."""
+               transforms: Sequence[np.ndarray]
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Transform per-view clouds into the table frame and concatenate
+    (data_generator.cpp:630-661): returns (points, camera-source bitmask —
+    bit i = view i, replacing the reference's block 0/1 matrix — and the
+    per-view camera positions T[:3, 3])."""
     pts_out = []
     cam_out = []
+    cam_pos = []
     for k, (pts, T) in enumerate(zip(clouds, transforms)):
-        hom = np.concatenate([pts, np.ones((len(pts), 1), pts.dtype)], 1)
+        hom = np.concatenate(
+            [pts, np.ones((len(pts), 1), pts.dtype)], 1).astype(np.float32)
         pts_out.append((hom @ T.T)[:, :3])
-        cam_out.append(np.full(len(pts), 1 << k, np.uint32))
-    return np.concatenate(pts_out), np.concatenate(cam_out)
+        cam_out.append(np.full(len(pts), np.uint32(1) << np.uint32(k),
+                               np.uint32))
+        cam_pos.append(T[:3, 3])
+    return (np.concatenate(pts_out), np.concatenate(cam_out),
+            np.stack(cam_pos).astype(np.float32))
+
+
+def create_multiview_cloud(data_root: str, obj: str, camera: int,
+                           angles: Sequence[int], reference_camera: int,
+                           capacity: Optional[int] = None) -> CloudArrays:
+    """BigBIRD multi-view fusion (data_generator.cpp:617-665
+    createMultiViewCloud): load <obj>/clouds/NP<camera>_<angle>.pcd for each
+    turntable angle, transform into the table frame via the pose/calibration
+    HDF5s, concatenate with per-view camera sources and camera positions."""
+    from gpd_tpu.io.pcd import load_cloud_file
+    clouds = []
+    transforms = []
+    for angle in angles:
+        path = os.path.join(data_root, obj, "clouds",
+                            f"NP{camera}_{angle}.pcd")
+        pts = load_cloud_file(path)
+        pts = pts[np.isfinite(pts).all(axis=1)]
+        clouds.append(pts.astype(np.float32))
+        transforms.append(
+            calculate_transform(data_root, obj, camera, angle,
+                                reference_camera))
+    pts, cam, vp = fuse_views(clouds, transforms)
+    return CloudArrays.from_numpy(pts, view_points=vp, cam_source=cam,
+                                  capacity=capacity)

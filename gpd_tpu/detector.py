@@ -87,26 +87,19 @@ def _compact_hands(grasps: Grasps, cap: int) -> Grasps:
     return g
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "image_cap",
-                                             "scores_only"))
-def detect_core(cloud: CloudArrays, sample_pos: jax.Array,
-                sample_mask: jax.Array, params, key: jax.Array,
-                cfg: DetectorConfig, image_cap: int,
-                scores_only: bool = False) -> Tuple[Grasps, jax.Array]:
-    """frames -> candidates -> filters -> images -> CNN scores.
-
-    Returns (scored Grasps in valid-first order, images). With
-    ``scores_only=True`` the image tensor is not returned (``None``): the
-    serving path never materializes the (G, 60, 60, C) uint8 batch in HBM.
-    Pipeline = grasp_detector.cpp:192-273 steps 1-4.
-    """
-    # 1. Candidate generation (stack 3.1 step 1).
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def candidates_stage(cloud: CloudArrays, sample_pos: jax.Array,
+                     sample_mask: jax.Array, cfg: DetectorConfig) -> Grasps:
+    """Steps 1-2 of detectGrasps: frames -> hand search -> filters
+    (grasp_detector.cpp:192-258). Jitted on its own so the staged-timing
+    path can report candidate generation separately; inside detect_core it
+    inlines into the fused program."""
     frames, fvalid = estimate_frames(
         sample_pos, sample_mask, cloud.points, cloud.mask, cloud.normals,
         radius=cfg.nn_radius_frames, k=cfg.frame_neighbors_cap)
-    grasps = cand.search_hands_with_frames(cloud, sample_pos, frames, fvalid, cfg)
+    grasps = cand.search_hands_with_frames(cloud, sample_pos, frames, fvalid,
+                                           cfg)
 
-    # 2. Filters (grasp_detector.cpp:236-258).
     hg = cfg.hand_geometry
     grasps = sel.filter_grasps_workspace(
         grasps, cfg.workspace_grasps, cfg.min_aperture, cfg.max_aperture,
@@ -114,9 +107,18 @@ def detect_core(cloud: CloudArrays, sample_pos: jax.Array,
     if cfg.filter_approach_direction:
         grasps = sel.filter_grasps_direction(grasps, cfg.direction,
                                              cfg.thresh_rad)
+    return grasps
 
-    # 3. Descriptors (grasp_detector.cpp:260-265). Optionally remove the
-    # support plane from the image cloud (image_generator.cpp:101-129).
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def image_inputs_stage(cloud: CloudArrays, sample_pos: jax.Array,
+                       sample_mask: jax.Array, key: jax.Array,
+                       cfg: DetectorConfig):
+    """Shared per-sample descriptor inputs (image_generator.cpp:17-70):
+    optional plane removal, image-radius neighborhoods, shadow point sets.
+
+    Returns (nn_idx | None if identity neighborhoods, nn_valid, shadow_pts,
+    shadow_valid)."""
     img_mask = cloud.mask
     if cfg.remove_plane_before_image_calculation:
         inl, _ = pp.fit_plane_ransac(cloud.points, cloud.mask,
@@ -175,6 +177,58 @@ def detect_core(cloud: CloudArrays, sample_pos: jax.Array,
             v_cap=cfg.shadow_voxel_cap)
     else:
         shadow_pts = shadow_valid = None
+    return nn_idx, nn_valid, shadow_pts, shadow_valid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "image_cap"))
+def descriptors_stage(cloud: CloudArrays, grasps: Grasps, nn_idx, nn_valid,
+                      shadow_pts, shadow_valid, cfg: DetectorConfig,
+                      image_cap: int) -> Tuple[Grasps, jax.Array]:
+    """Step 3 alone (createImages, grasp_detector.cpp:260-265) for the
+    staged-timing path: valid-first compaction to ``image_cap`` hands, one
+    rasterization pass. Returns (compacted Grasps, images)."""
+    g = _compact_hands(grasps, image_cap)
+    identity_nn = nn_idx is None
+    sid = g.sample_id
+    h_nvalid = nn_valid[sid] & g.valid[:, None]
+    if identity_nn:
+        n = sid.shape[0]
+        h_pts = jnp.broadcast_to(cloud.points[None],
+                                 (n,) + cloud.points.shape)
+        h_nrm = jnp.broadcast_to(cloud.normals[None],
+                                 (n,) + cloud.normals.shape)
+    else:
+        h_idx = nn_idx[sid]
+        h_pts = cloud.points[h_idx]
+        h_nrm = cloud.normals[h_idx]
+    images = img.make_images(
+        h_pts, h_nrm, h_nvalid, g.orientation, g.sample, g.bottom,
+        g.center, g.valid, cfg.image_geometry,
+        shadow_pts=None if shadow_pts is None else shadow_pts[sid],
+        shadow_valid=None if shadow_valid is None else shadow_valid[sid])
+    return g, images
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "image_cap",
+                                             "scores_only"))
+def detect_core(cloud: CloudArrays, sample_pos: jax.Array,
+                sample_mask: jax.Array, params, key: jax.Array,
+                cfg: DetectorConfig, image_cap: int,
+                scores_only: bool = False) -> Tuple[Grasps, jax.Array]:
+    """frames -> candidates -> filters -> images -> CNN scores.
+
+    Returns (scored Grasps in valid-first order, images). With
+    ``scores_only=True`` the image tensor is not returned (``None``): the
+    serving path never materializes the (G, 60, 60, C) uint8 batch in HBM.
+    Pipeline = grasp_detector.cpp:192-273 steps 1-4.
+    """
+    # 1-2. Candidates + filters.
+    grasps = candidates_stage(cloud, sample_pos, sample_mask, cfg)
+
+    # 3. Descriptor inputs (plane removal, neighborhoods, shadows).
+    nn_idx, nn_valid, shadow_pts, shadow_valid = image_inputs_stage(
+        cloud, sample_pos, sample_mask, key, cfg)
+    identity_nn = nn_idx is None
 
     # Valid-first ordering, then image + score in fixed-size chunks so the
     # candidate count is unbounded while per-chunk memory stays capped.
@@ -299,10 +353,14 @@ class GraspDetector:
                          view_points: Optional[np.ndarray] = None,
                          cam_source: Optional[np.ndarray] = None,
                          normals: Optional[np.ndarray] = None,
-                         key: Optional[jax.Array] = None) -> CloudArrays:
+                         key: Optional[jax.Array] = None,
+                         capacity: Optional[int] = None) -> CloudArrays:
         """removeNans -> filterWorkspace -> voxelize -> normals(+reverse)
         -> [refine] (candidates_generator.cpp:14-37). Returns a compacted
-        CloudArrays ready for detection."""
+        CloudArrays ready for detection.
+
+        ``capacity`` pins the padded size of every stage (batch jobs over
+        many clouds compile each kernel once instead of per size bucket)."""
         cfg = self.cfg
         points = np.asarray(points, np.float32).reshape(-1, 3)
         finite = np.isfinite(points).all(axis=1)
@@ -313,13 +371,14 @@ class GraspDetector:
             cam_source = np.asarray(cam_source)[..., finite]
 
         cloud = CloudArrays.from_numpy(points, view_points=view_points,
-                                       cam_source=cam_source, normals=normals)
+                                       cam_source=cam_source, normals=normals,
+                                       capacity=capacity)
         cloud = _prep_filter_voxel(cloud, tuple(cfg.workspace),
                                    cfg.voxel_size, cfg.voxelize)
-        cloud = cloud.compact_host()
+        cloud = cloud.compact_host(capacity)
         if cfg.remove_outliers:
             cloud = pp.remove_statistical_outliers(cloud)
-            cloud = cloud.compact_host()
+            cloud = cloud.compact_host(capacity)
         cloud = _prep_normals(
             cloud, cfg.normals_radius, cfg.normals_neighbors_cap,
             do_estimate=(normals is None or cfg.voxelize),
@@ -368,8 +427,17 @@ class GraspDetector:
                sample_pos: Optional[jax.Array] = None,
                sample_mask: Optional[jax.Array] = None,
                key: Optional[jax.Array] = None,
-               verbose: bool = True) -> Grasps:
-        """Full detectGrasps pipeline with per-stage timing."""
+               verbose: bool = True, staged: bool = False) -> Grasps:
+        """Full detectGrasps pipeline with per-stage timing.
+
+        ``staged=True`` runs the stages as separate device programs so the
+        report matches the reference's four-line runtime breakdown
+        (grasp_detector.cpp:313-320: candidates / descriptors /
+        classification / total) at a small fusion cost; the default keeps
+        everything fused in one program and reports the combined number."""
+        if staged:
+            return self._detect_staged(cloud, sample_pos, sample_mask, key,
+                                       verbose)
         from gpd_tpu import profiling
         cfg = self.effective_config(cloud)
         key = key if key is not None else jax.random.PRNGKey(0)
@@ -408,6 +476,55 @@ class GraspDetector:
             print(f" 1. Candidate generation + descriptors + classification:"
                   f" {t_detect:.4f}s")
             print(f" 2. Selection/clustering: {t_select:.4f}s")
+            print("==========")
+            print(f" TOTAL: {t_total:.4f}s")
+        return out
+
+    def _detect_staged(self, cloud: CloudArrays, sample_pos, sample_mask,
+                       key, verbose: bool) -> Grasps:
+        """Stage-separated detection with the reference's four-line runtime
+        report (grasp_detector.cpp:313-320)."""
+        def sync(x):
+            leaf = jax.tree_util.tree_leaves(x)[0]
+            np.asarray(leaf.ravel()[:1])   # device->host fetch (CLAUDE.md)
+            return x
+
+        cfg = self.effective_config(cloud)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        t0 = time.time()
+        if sample_pos is None:
+            sample_pos, sample_mask = self.sample_cloud(cloud, key)
+        total = sample_pos.shape[0] * cfg.num_orientations * len(cfg.hand_axes)
+        cap = min(_next_size(total, 256), 4096)
+
+        t = time.time()
+        grasps = sync(candidates_stage(cloud, sample_pos, sample_mask, cfg))
+        t_cand = time.time() - t
+
+        t = time.time()
+        nn_idx, nn_valid, spts, svalid = sync(image_inputs_stage(
+            cloud, sample_pos, sample_mask, key, cfg))
+        g, images = sync(descriptors_stage(cloud, grasps, nn_idx, nn_valid,
+                                           spts, svalid, cfg, cap))
+        t_img = time.time() - t
+
+        t = time.time()
+        scores = sync(lenet.score(self.params, images))
+        t_cls = time.time() - t
+
+        g = dataclasses.replace(g, score=jnp.where(g.valid, scores, -jnp.inf))
+        out = sync(select_and_cluster(g, cfg))
+        t_total = time.time() - t0
+
+        self.last_runtimes = dict(candidates=t_cand, images=t_img,
+                                  classify=t_cls, total=t_total)
+        if verbose:
+            n = int(np.asarray(out.valid).sum())
+            print(f"Selected the {n} best grasps.")
+            print("======== RUNTIMES ========")
+            print(f" 1. Candidate generation: {t_cand:.4f}s")
+            print(f" 2. Descriptors/images: {t_img:.4f}s")
+            print(f" 3. Classification: {t_cls:.4f}s")
             print("==========")
             print(f" TOTAL: {t_total:.4f}s")
         return out

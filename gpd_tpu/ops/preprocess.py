@@ -170,10 +170,16 @@ def sample_above_plane(cloud: CloudArrays, key: jax.Array,
 
 def subsample_uniform(key: jax.Array, candidate_mask: jax.Array,
                       num_samples: int) -> Tuple[jax.Array, jax.Array]:
-    """Draw ``num_samples`` indices uniformly from the masked set
-    (reference: cloud.cpp:350-405 subsample*). Sampling is with replacement
-    when the pool is smaller than num_samples (mirrors subsampleSampleIndices's
-    rand()%n draw); returns (indices, valid_mask)."""
+    """Draw ``num_samples`` indices uniformly WITHOUT replacement from the
+    masked set; returns (indices, valid_mask).
+
+    Deliberate divergence from the reference (cloud.cpp:350-405: rand()%n is
+    with replacement and can draw duplicates): duplicates only repeat the
+    identical hand search, so distinct draws dominate. When the pool is
+    smaller than ``num_samples``, every pool member is drawn exactly once
+    and the remaining slots come back with ``valid_mask=False`` (Gumbel
+    top-k puts the zero-probability entries last; the count guard masks
+    them)."""
     n = candidate_mask.shape[0]
     probs = candidate_mask.astype(jnp.float32)
     total = jnp.sum(probs)

@@ -10,8 +10,7 @@ import pytest
 from gpd_tpu.config import DetectorConfig
 from gpd_tpu.core.types import CloudArrays
 from gpd_tpu.datagen import (DataGenConfig, DataGenerator, HDF5ShardWriter,
-                             balance_instances, fuse_views,
-                             multiview_transform)
+                             balance_instances, fuse_views)
 from gpd_tpu.detector import GraspDetector
 
 
@@ -122,16 +121,78 @@ class TestMultiView:
         T2 = np.eye(4)
         T2[:3, :3] = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
         T2[:3, 3] = [1, 0, 0]
-        pts, cam = fuse_views([c1, c2], [T1, T2])
+        pts, cam, vp = fuse_views([c1, c2], [T1, T2])
         assert pts.shape == (80, 3)
         assert (cam[:50] == 1).all() and (cam[50:] == 2).all()
         np.testing.assert_allclose(pts[:50], c1, atol=1e-6)
         np.testing.assert_allclose(
             pts[50], T2[:3, :3] @ c2[0] + T2[:3, 3], atol=1e-5)
+        np.testing.assert_allclose(vp[1], [1, 0, 0], atol=1e-6)
 
-    def test_transform_compose(self):
-        pose_cam = np.diag([1.0, 1, 1, 1])
-        pose_table = np.eye(4)
-        pose_table[:3, 3] = [0, 0, 1]
-        T = multiview_transform(pose_cam, pose_table)
-        np.testing.assert_allclose(T[:3, 3], [0, 0, -1], atol=1e-9)
+    @staticmethod
+    def _rot(axis, deg):
+        c, s = np.cos(np.deg2rad(deg)), np.sin(np.deg2rad(deg))
+        if axis == "z":
+            return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        return np.array([[1.0, 0, 0], [0, c, -s], [0, s, c]])
+
+    def test_bigbird_roundtrip(self, tmp_path, rng):
+        """Synthetic-pose roundtrip (data_generator.cpp:617-701): build a
+        fake BigBIRD object dir (clouds/ PCDs in camera frame + poses/ and
+        calibration.h5), fuse, and recover the table-frame ground truth."""
+        import h5py
+        from gpd_tpu.datagen import (calculate_transform,
+                                     create_multiview_cloud, read_pose_hdf5)
+        from gpd_tpu.io.pcd import save_pcd
+
+        obj, camera, ref = "mug_01", 1, 5
+        angles = [0, 120]
+        root = tmp_path
+        d = root / obj
+        (d / "clouds").mkdir(parents=True)
+        (d / "poses").mkdir()
+
+        # Ground truth: an L-shaped table-frame cloud.
+        gt = rng.uniform(-0.05, 0.05, (200, 3)).astype(np.float32)
+
+        # One camera calibration (camera from reference camera).
+        T_cam_from_ref = np.eye(4, dtype=np.float32)
+        T_cam_from_ref[:3, :3] = self._rot("x", 30)
+        T_cam_from_ref[:3, 3] = [0.1, -0.2, 0.05]
+        with h5py.File(d / "calibration.h5", "w") as f:
+            f[f"H_NP{camera}_from_NP{ref}"] = T_cam_from_ref
+
+        for angle in angles:
+            T_table_from_ref = np.eye(4, dtype=np.float32)
+            T_table_from_ref[:3, :3] = self._rot("z", angle)
+            T_table_from_ref[:3, 3] = [0, 0, 0.7]
+            with h5py.File(d / "poses" / f"NP{ref}_{angle}_pose.h5",
+                           "w") as f:
+                f["H_table_from_reference_camera"] = T_table_from_ref
+            # The view PCD holds the cloud in CAMERA frame: points such
+            # that T = T_table_from_ref @ inv(T_cam_from_ref) maps them
+            # back onto the table-frame ground truth.
+            T = T_table_from_ref @ np.linalg.inv(T_cam_from_ref)
+            Tinv = np.linalg.inv(T)
+            cam_pts = gt @ Tinv[:3, :3].T + Tinv[:3, 3]
+            save_pcd(str(d / "clouds" / f"NP{camera}_{angle}.pcd"),
+                     cam_pts.astype(np.float32))
+
+            got_T = calculate_transform(str(root), obj, camera, angle, ref)
+            np.testing.assert_allclose(got_T, T, atol=1e-5)
+
+        cloud = create_multiview_cloud(str(root), obj, camera, angles, ref)
+        pts = np.asarray(cloud.points)[np.asarray(cloud.mask)]
+        cam_src = np.asarray(cloud.cam_source)[np.asarray(cloud.mask)]
+        assert pts.shape == (400, 3)
+        # Both views land on the table-frame ground truth.
+        np.testing.assert_allclose(pts[:200], gt, atol=1e-4)
+        np.testing.assert_allclose(pts[200:], gt, atol=1e-4)
+        assert (cam_src[:200] == 1).all() and (cam_src[200:] == 2).all()
+        # Camera positions = T[:3, 3] per view.
+        vps = np.asarray(cloud.view_points)
+        assert vps.shape == (2, 3)
+        # read_pose_hdf5 validates shape.
+        T0 = read_pose_hdf5(str(d / "calibration.h5"),
+                            f"H_NP{camera}_from_NP{ref}")
+        np.testing.assert_allclose(T0, T_cam_from_ref, atol=1e-7)

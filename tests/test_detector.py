@@ -270,7 +270,7 @@ class TestLargeCloud:
 class TestChunkedScoring:
     def test_many_samples_chunks(self, rng):
         """More candidates than one image chunk: scores must cover all valid
-        hands (chunked image/score path in detect_core)."""
+        hands (chunked image/score path in detect_core)."""  # anchor
         from gpd_tpu.detector import detect_core
         n = 2500
         theta = rng.uniform(0, 2 * np.pi, n)
@@ -291,3 +291,32 @@ class TestChunkedScoring:
         assert valid.sum() > 128, "test needs more valid hands than one chunk"
         assert np.isfinite(scores[valid]).all()
         assert images.shape[0] == g.valid.shape[0]
+
+
+class TestStagedDetect:
+    def test_staged_matches_fused(self, rng):
+        """detect(staged=True) reports the reference's four-line runtime
+        breakdown and must select the same grasps/scores as the fused path
+        (same candidates, same images, same classifier)."""
+        n = 1200
+        theta = rng.uniform(0, 2 * np.pi, n)
+        pts = np.stack([0.03 * np.cos(theta), 0.03 * np.sin(theta),
+                        rng.uniform(-0.05, 0.05, n)], 1).astype(np.float32)
+        nrm = np.stack([np.cos(theta), np.sin(theta), np.zeros(n)],
+                       1).astype(np.float32)
+        cloud = CloudArrays.from_numpy(pts, normals=nrm)
+        cfg = small_cfg(num_samples=16)
+        det = GraspDetector(cfg)
+        spos = jnp.asarray(pts[:16])
+        smask = jnp.ones(16, bool)
+        a = det.detect(cloud, spos, smask, key=jax.random.PRNGKey(3),
+                       verbose=False)
+        b = det.detect(cloud, spos, smask, key=jax.random.PRNGKey(3),
+                       verbose=False, staged=True)
+        assert set(det.last_runtimes) == {"candidates", "images",
+                                          "classify", "total"}
+        va, vb = np.asarray(a.valid), np.asarray(b.valid)
+        assert va.sum() == vb.sum() and va.sum() > 0
+        np.testing.assert_allclose(np.sort(np.asarray(a.score)[va]),
+                                   np.sort(np.asarray(b.score)[vb]),
+                                   atol=1e-5)

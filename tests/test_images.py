@@ -52,6 +52,71 @@ def np_depth_image(unit, ins, geom):
     return np.rint(out * 255).astype(np.uint8)
 
 
+def _np_dilate3(im):
+    dil = np.full_like(im, -np.inf)
+    n = im.shape[0]
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            sh = np.full_like(im, -np.inf)
+            r0, r1 = max(0, dr), min(n, n + dr)
+            c0, c1 = max(0, dc), min(n, n + dc)
+            sh[r0:r1, c0:c1] = im[r0 - dr:r1 - dr, c0 - dc:c1 - dc]
+            dil = np.maximum(dil, sh)
+    return dil
+
+
+def _np_minmax_u8(im):
+    mn, mx = im.min(), im.max()
+    out = (im - mn) / (mx - mn) if mx > mn else np.zeros_like(im)
+    return np.rint(out * 255).astype(np.uint8)
+
+
+def np_normals_image(unit, ins, absn, geom, blend: bool):
+    """createNormalsImage oracle (image_strategy.cpp:124-156).
+
+    blend=True transcribes the reference's order-dependent incremental
+    blend; blend=False is the documented order-independent per-cell mean
+    the TPU rasterizer uses (gpd_tpu/ops/images.py module docstring)."""
+    size = geom.size
+    cv = np.minimum(np.floor(unit[:, 0] * size).astype(int), size - 1)
+    ch = np.minimum(np.floor(unit[:, 1] * size).astype(int), size - 1)
+    acc = np.zeros((size, size, 3))
+    cnt = np.zeros((size, size))
+    for i in np.nonzero(ins)[0]:
+        r, c = size - 1 - cv[i], ch[i]
+        if blend:
+            v = acc[r, c]
+            if (v == 0).all():
+                acc[r, c] = absn[i]
+            else:
+                acc[r, c] = v + (absn[i] - v) / np.sqrt((v * v).sum())
+        else:
+            cnt[r, c] += 1
+            acc[r, c] += (absn[i] - acc[r, c]) / cnt[r, c]
+    dil = np.stack([_np_dilate3(acc[:, :, k]) for k in range(3)], -1)
+    # Joint minmax over all 3 channels (cv::normalize on a CV_32FC3 Mat).
+    return _np_minmax_u8(dil)
+
+
+def np_shadow_image(sunit, sins, geom):
+    """createShadowImage oracle (image_strategy.cpp:193-233): per-cell
+    running mean of depth, reversed against the max over nonzero cells,
+    dilated, minmax-normalized."""
+    size = geom.size
+    cv = np.minimum(np.floor(sunit[:, 0] * size).astype(int), size - 1)
+    ch = np.minimum(np.floor(sunit[:, 1] * size).astype(int), size - 1)
+    mean = np.zeros((size, size))
+    cnt = np.zeros((size, size))
+    for i in np.nonzero(sins)[0]:
+        r, c = size - 1 - cv[i], ch[i]
+        cnt[r, c] += 1
+        mean[r, c] += (sunit[i, 2] - mean[r, c]) / cnt[r, c]
+    nonzero = cnt > 0
+    mx = mean[nonzero].max() if nonzero.any() else 0.0
+    im = np.where(nonzero, mx - mean, 0.0)
+    return _np_minmax_u8(_np_dilate3(im))
+
+
 class TestRasterizer:
     def test_depth_channel_vs_oracle(self, rng):
         geom = ImageGeometry(num_channels=1)
@@ -72,6 +137,65 @@ class TestRasterizer:
         unit, ins = np_unit_and_cells(pts.astype(np.float64), -0.01, 0.005, geom)
         ref = np_depth_image(unit, ins, geom)
         # Allow off-by-one uint8 from f32/f64 rounding at cell boundaries.
+        diff = np.abs(got.astype(int) - ref.astype(int))
+        assert (diff <= 1).mean() > 0.995, f"max diff {diff.max()}"
+
+    def test_normals_channels_vs_oracle(self, rng):
+        """Normals channels match the per-cell-mean oracle exactly; the
+        reference's order-dependent blend (image_strategy.cpp:133-142)
+        stays within a bounded uint8 divergence — quantifying the
+        documented blend->mean design change."""
+        geom = ImageGeometry(num_channels=3)
+        K = 600
+        pts = rng.uniform(-0.06, 0.08, size=(K, 3)).astype(np.float32)
+        nrm = rng.normal(size=(K, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        out = img.make_images(
+            jnp.asarray(pts[None]), jnp.asarray(nrm[None]),
+            jnp.ones((1, K), bool),
+            jnp.asarray(np.eye(3, dtype=np.float32)[None]),
+            jnp.zeros((1, 3), jnp.float32),
+            jnp.asarray([-0.01], jnp.float32),
+            jnp.asarray([0.005], jnp.float32),
+            jnp.ones(1, bool), geom)
+        got = np.asarray(out)[0]
+
+        unit, ins = np_unit_and_cells(pts.astype(np.float64), -0.01, 0.005,
+                                      geom)
+        absn = np.abs(nrm).astype(np.float64)
+        ref_mean = np_normals_image(unit, ins, absn, geom, blend=False)
+        diff = np.abs(got.astype(int) - ref_mean.astype(int))
+        assert (diff <= 1).mean() > 0.995, f"max diff {diff.max()}"
+
+        ref_blend = np_normals_image(unit, ins, absn, geom, blend=True)
+        bdiff = np.abs(got.astype(float) - ref_blend.astype(float))
+        # The divergence is real but bounded; it averages out over cells.
+        assert bdiff.mean() < 12.0, f"blend divergence mean {bdiff.mean()}"
+
+    def test_shadow_channel_vs_oracle(self, rng):
+        """The shadow channel (channel 4 of each projection) matches the
+        createShadowImage oracle given identical shadow points."""
+        geom = ImageGeometry(num_channels=15)
+        K, Ks = 300, 400
+        pts = rng.uniform(-0.05, 0.07, size=(K, 3)).astype(np.float32)
+        nrm = rng.normal(size=(K, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        spts = rng.uniform(-0.06, 0.08, size=(Ks, 3)).astype(np.float32)
+        out = img.make_images(
+            jnp.asarray(pts[None]), jnp.asarray(nrm[None]),
+            jnp.ones((1, K), bool),
+            jnp.asarray(np.eye(3, dtype=np.float32)[None]),
+            jnp.zeros((1, 3), jnp.float32),
+            jnp.asarray([-0.01], jnp.float32),
+            jnp.asarray([0.005], jnp.float32),
+            jnp.ones(1, bool), geom,
+            shadow_pts=jnp.asarray(spts[None]),
+            shadow_valid=jnp.ones((1, Ks), bool))
+        got = np.asarray(out)[0, :, :, 4]    # projection 0 shadow channel
+
+        sunit, sins = np_unit_and_cells(spts.astype(np.float64), -0.01,
+                                        0.005, geom)
+        ref = np_shadow_image(sunit, sins, geom)
         diff = np.abs(got.astype(int) - ref.astype(int))
         assert (diff <= 1).mean() > 0.995, f"max diff {diff.max()}"
 

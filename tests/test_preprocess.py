@@ -247,8 +247,15 @@ class TestSubsample:
         assert len(set(idx.tolist())) == 30  # without replacement
 
     def test_pool_smaller_than_request(self):
+        """pool < num_samples: every pool member drawn exactly once, the
+        rest of the slots invalid (documented subsample_uniform contract)."""
         mask = np.zeros(100, bool)
         mask[:10] = True
         idx, valid = pp.subsample_uniform(jax.random.PRNGKey(1),
                                           jnp.asarray(mask), 30)
-        assert np.asarray(valid).sum() <= 10
+        idx, valid = np.asarray(idx), np.asarray(valid)
+        assert valid.sum() == 10
+        drawn = sorted(idx[valid].tolist())
+        assert drawn == list(range(10))
+        # Invalid slots never point at pool members marked valid.
+        assert not valid[10:].any()

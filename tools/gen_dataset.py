@@ -20,6 +20,10 @@ import time
 import numpy as np
 
 
+VIEW_CAPACITY = 4096     # fixed padding -> one detect_core compile for all
+                         # views (remote compiles are minutes each)
+
+
 def build_items(det, num_objects: int, views_per_object: int, seed: int = 0):
     """Work-list of (name, view_id, view CloudArrays, mesh CloudArrays)."""
     import jax
@@ -37,7 +41,8 @@ def build_items(det, num_objects: int, views_per_object: int, seed: int = 0):
             if len(vpts) < 200:
                 continue
             view = det.preprocess_cloud(
-                vpts, view_points=cams[v].reshape(1, 3))
+                vpts, view_points=cams[v].reshape(1, 3),
+                capacity=VIEW_CAPACITY)
             yield name, v, view, mesh
 
 
