@@ -73,15 +73,11 @@ def main(argv=None):
     channels = int(argv[2]) if len(argv) > 2 else 15
     params = lenet.load_params(argv[0], channels)
     if to_onnx or argv[1].endswith(".onnx"):
-        # Gated on the onnx package (not in the base image), like the
-        # zarr/lmdb dataset converters.
-        try:
-            import onnx  # noqa: F401
-        except ImportError:
-            print("the 'onnx' package is not installed; install it to "
-                  "export ONNX", file=sys.stderr)
-            return 2
-        export_onnx(params, argv[1], channels)
+        # Self-contained wire-format writer (gpd_tpu.net.onnx_io) — works
+        # without the onnx package; the torch exporter path (export_onnx)
+        # remains for environments that have onnx installed.
+        from gpd_tpu.net.onnx_io import export_params_onnx
+        export_params_onnx(params, argv[1], channels)
     else:
         lenet.save_params_npz(argv[1], params)
     print(f"wrote {argv[1]}")

@@ -160,7 +160,11 @@ class DataGenerator:
         images_all: List[np.ndarray] = []
         labels_all: List[np.ndarray] = []
         n_pos = 0
-        # Loop until enough positives, like data_generator.cpp:140-193.
+        # Loop until enough positives, like data_generator.cpp:140-193 —
+        # but bail after two consecutive zero-positive attempts: an
+        # ungraspable view never reaches min_pos and the attempts are the
+        # expensive part (the reference would spin on such views forever).
+        zero_streak = 0
         for attempt in range(8):
             k = jax.random.fold_in(key, attempt)
             spos, smask = det.sample_cloud(view_cloud, k)
@@ -173,8 +177,10 @@ class DataGenerator:
             imgs = np.asarray(imgs)[valid]
             images_all.append(imgs)
             labels_all.append(labels)
-            n_pos += int(labels.sum())
-            if n_pos >= min_pos:
+            got = int(labels.sum())
+            n_pos += got
+            zero_streak = zero_streak + 1 if got == 0 else 0
+            if n_pos >= min_pos or zero_streak >= 2:
                 break
         images = np.concatenate(images_all)
         labels = np.concatenate(labels_all)

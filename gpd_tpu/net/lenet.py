@@ -218,7 +218,8 @@ def load_params_torch(path: str) -> Params:
 def load_params(weights_file: str, num_channels: int = 15) -> Params:
     """Dispatch on weights_file like the reference classifier factory
     (classifier.cpp:17-33): directory -> raw .bin; .npz; .pt/.pth/.pwf ->
-    torch; empty -> deterministic random init."""
+    torch; .onnx -> ONNX initializers; .xml -> OpenVINO IR (+ sibling
+    .bin); empty -> deterministic random init."""
     if not weights_file:
         return init_params(jax.random.PRNGKey(0), num_channels)
     if os.path.isdir(weights_file):
@@ -228,4 +229,12 @@ def load_params(weights_file: str, num_channels: int = 15) -> Params:
         return load_params_npz(weights_file)
     if ext in (".pt", ".pth", ".pwf", ".model"):
         return load_params_torch(weights_file)
+    if ext == ".onnx":
+        from gpd_tpu.net.onnx_io import load_params_onnx
+        return {k: jnp.asarray(v)
+                for k, v in load_params_onnx(weights_file).items()}
+    if ext == ".xml":
+        from gpd_tpu.net.onnx_io import load_params_openvino
+        return {k: jnp.asarray(v)
+                for k, v in load_params_openvino(weights_file).items()}
     raise ValueError(f"Unrecognized weights file: {weights_file}")

@@ -86,6 +86,96 @@ def plot_grasps(points: np.ndarray, grasps: Sequence[dict],
     return fig
 
 
+def hand_volume_boxes(position: np.ndarray, R: np.ndarray,
+                      outer_diameter: float = 0.12, depth: float = 0.06,
+                      finger_width: float = 0.01,
+                      height: float = 0.02) -> np.ndarray:
+    """The four oriented cuboids of the reference's 3D hand rendering
+    (plotHand3D, plot.cpp:380-411): left finger, right finger, base bar,
+    approach stub. Returns (4, 8, 3) corner vertices in world frame.
+
+    Box extents follow the reference exactly: fingers depth x finger_width
+    x height, base 0.02 x outer_diameter x height (center 0.01 behind the
+    hand along -approach), approach stub 0.07 x finger_width x height/2
+    (center 0.04 further behind)."""
+    position = np.asarray(position, np.float64)
+    R = np.asarray(R, np.float64)
+    approach, binormal = R[:, 0], R[:, 1]
+    hw = 0.5 * outer_diameter
+    left_bottom = position - (hw - 0.5 * finger_width) * binormal
+    right_bottom = position + (hw - 0.5 * finger_width) * binormal
+    left_center = left_bottom + 0.5 * depth * approach
+    right_center = right_bottom + 0.5 * depth * approach
+    base_center = 0.5 * (left_bottom + right_bottom) - 0.01 * approach
+    approach_center = base_center - 0.04 * approach
+
+    specs = [
+        (left_center, (depth, finger_width, height)),
+        (right_center, (depth, finger_width, height)),
+        (base_center, (0.02, outer_diameter, height)),
+        (approach_center, (0.07, finger_width, 0.5 * height)),
+    ]
+    corners = np.array([[sx, sy, sz] for sx in (-0.5, 0.5)
+                        for sy in (-0.5, 0.5) for sz in (-0.5, 0.5)])
+    boxes = []
+    for center, dims in specs:
+        local = corners * np.asarray(dims)
+        boxes.append(center + local @ R.T)
+    return np.stack(boxes)
+
+
+_BOX_FACES = [(0, 1, 3, 2), (4, 5, 7, 6), (0, 1, 5, 4),
+              (2, 3, 7, 6), (0, 2, 6, 4), (1, 3, 7, 5)]
+
+
+def plot_hands_3d(points: np.ndarray, grasps: Sequence[dict],
+                  path: Optional[str] = None, max_grasps: int = 20,
+                  hand_geometry=None, color_by: str = "score"):
+    """Solid hand-volume render (plotFingers3D / plotAntipodalHands,
+    plot.cpp:174-310): each hand drawn as its four translucent cuboids over
+    the cloud. ``color_by``: 'score' (red->green ramp like
+    plotFingers3D's use_same_color=false), 'antipodal' (green/red like
+    plotAntipodalHands), or 'fixed' (teal)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(projection="3d")
+    pts = np.asarray(points)
+    step = max(1, len(pts) // 5000)
+    ax.scatter(pts[::step, 0], pts[::step, 1], pts[::step, 2], s=1,
+               c="gray", alpha=0.4)
+    od, dp, fw, hh = 0.12, 0.06, 0.01, 0.02
+    if hand_geometry is not None:
+        od, dp, fw, hh = (hand_geometry.outer_diameter, hand_geometry.depth,
+                          hand_geometry.finger_width, hand_geometry.height)
+    gs = list(grasps)[:max_grasps]
+    scores = [float(g.get("score", 0.0)) for g in gs]
+    smin, smax = (min(scores), max(scores)) if scores else (0.0, 1.0)
+    for g, s in zip(gs, scores):
+        if color_by == "antipodal":
+            rgb = (0.0, 0.7, 0.0) if g.get("full_antipodal") else (0.7, 0, 0)
+        elif color_by == "score" and smax > smin:
+            c = (s - smin) / (smax - smin)
+            rgb = (1.0 - c, c, 0.0)
+        else:
+            rgb = (0.0, 0.5, 0.5)
+        boxes = hand_volume_boxes(np.asarray(g["position"]),
+                                  np.asarray(g["orientation"]),
+                                  od, dp, fw, hh)
+        for box in boxes:
+            faces = [[box[i] for i in face] for face in _BOX_FACES]
+            ax.add_collection3d(Poly3DCollection(
+                faces, facecolors=[rgb], alpha=0.25, edgecolors=[rgb]))
+    ax.set_box_aspect((1, 1, 1))
+    if path:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
 def plot_normals(points: np.ndarray, normals: np.ndarray,
                  path: Optional[str] = None, stride: int = 20):
     """Quiver render of surface normals (plotNormals, plot.cpp:498-668)."""
