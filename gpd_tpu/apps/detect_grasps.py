@@ -12,10 +12,17 @@ import numpy as np
 
 
 def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv if argv is not None else sys.argv[1:])
+    # --staged: per-stage runtime report (candidates / descriptors /
+    # classification / total, grasp_detector.cpp:313-320) at a small
+    # fusion cost; default is the fully fused fast path.
+    staged = "--staged" in argv
+    if staged:
+        argv.remove("--staged")
     if len(argv) < 2:
         print("Error: Not enough input arguments!\n")
-        print("Usage: detect_grasps CONFIG_FILE PCD_FILE [NORMALS_FILE]\n")
+        print("Usage: detect_grasps CONFIG_FILE PCD_FILE [NORMALS_FILE] "
+              "[OUT_CSV] [--staged]\n")
         print("Detect grasp poses for a point cloud, PCD_FILE (*.pcd), "
               "using parameters from CONFIG_FILE (*.cfg).\n")
         return -1
@@ -50,7 +57,7 @@ def main(argv=None):
     cloud = detector.preprocess_cloud(points, view_points=vp, normals=normals)
     print(f"Processed cloud: {int(np.asarray(cloud.mask).sum())} points.")
 
-    grasps = detector.detect(cloud)
+    grasps = detector.detect(cloud, staged=staged)
     if len(argv) > 3:
         write_grasps_csv(argv[3], grasps)
     return 0
