@@ -37,6 +37,16 @@ _NEG = jnp.float32(-1e9)
 _POS = jnp.float32(1e9)
 
 
+def _ceil128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+# Per-sample-block working-set budget for the hand search, in f32 elements
+# of one (M, B, K) tensor (~270 MB): big scenes scan over sample blocks
+# instead of materializing the whole orientation grid at once.
+_BLOCK_ELEMS = 1 << 26
+
+
 def finger_spacing(hand: HandGeometry, num_placements: int) -> np.ndarray:
     """Finger placement offsets (finger_hand.cpp:12-18): 2P values — first P
     are left-finger slab starts, last P right-finger slab starts."""
@@ -271,19 +281,41 @@ def _eval_orientations(rel, nrm, nvalid, frames, rfix, p: SearchParams):
 @functools.partial(jax.jit, static_argnames=("params", "k"))
 def _search_kernel(points, normals, pmask, sample_pos, frames, frame_valid,
                    radius, rfix, params: SearchParams, k: int):
-    if k >= points.shape[0]:
-        # Whole-cloud neighborhoods: broadcast instead of gathering — TPU
-        # gathers are lane-bound while broadcasts fuse into the consumers.
-        nvalid, _ = radius_mask(sample_pos, frame_valid, points, pmask,
-                                radius)
-        rel = points[None, :, :] - sample_pos[:, None, :]
-        nrm = jnp.broadcast_to(normals[None, :, :], rel.shape)
-    else:
-        idx, nvalid = radius_neighbors(sample_pos, frame_valid, points, pmask,
-                                       radius=radius, k=k)
-        rel = points[idx] - sample_pos[:, None, :]
-        nrm = normals[idx]
-    return _eval_orientations(rel, nrm, nvalid, frames, rfix, params)
+    S = sample_pos.shape[0]
+    M = rfix.shape[0]
+    # The bench workload (S=500) runs as a single block; big scenes (e.g.
+    # table_mug at 5000 samples x 8k points) scan over sample blocks.
+    blk = max(128, min(_ceil128(S), (_BLOCK_ELEMS // max(M * k, 1)) & ~127))
+    nblk = -(-S // blk)
+
+    def eval_block(spos_b, fval_b, frames_b):
+        if k >= points.shape[0]:
+            # Whole-cloud neighborhoods: broadcast instead of gathering —
+            # TPU gathers are lane-bound while broadcasts fuse.
+            nvalid, _ = radius_mask(spos_b, fval_b, points, pmask, radius)
+            rel = points[None, :, :] - spos_b[:, None, :]
+            nrm = jnp.broadcast_to(normals[None, :, :], rel.shape)
+        else:
+            idx, nvalid = radius_neighbors(spos_b, fval_b, points, pmask,
+                                           radius=radius, k=k)
+            rel = points[idx] - spos_b[:, None, :]
+            nrm = normals[idx]
+        return _eval_orientations(rel, nrm, nvalid, frames_b, rfix, params)
+
+    if nblk == 1:
+        return eval_block(sample_pos, frame_valid, frames)
+
+    pad = nblk * blk - S
+    spos_p = jnp.pad(sample_pos, ((0, pad), (0, 0)), constant_values=1e6)
+    fval_p = jnp.pad(frame_valid, (0, pad))
+    frames_p = jnp.pad(frames, ((0, pad), (0, 0), (0, 0)))
+    out = jax.lax.map(
+        lambda args: eval_block(*args),
+        (spos_p.reshape(nblk, blk, 3), fval_p.reshape(nblk, blk),
+         frames_p.reshape(nblk, blk, 3, 3)))
+    # (nblk, M, blk, ...) -> (M, S, ...)
+    return {kk: jnp.moveaxis(v, 0, 1).reshape((M, nblk * blk) + v.shape[3:])
+            [:, :S] for kk, v in out.items()}
 
 
 def search_hands(cloud, sample_pos: jax.Array, sample_mask: jax.Array,

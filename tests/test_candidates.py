@@ -203,3 +203,31 @@ class TestReevaluate:
         if was_full.sum() > 0:
             agree = labels[was_full].mean()
             assert agree > 0.7, f"only {agree:.2f} of full grasps re-labeled"
+
+
+class TestSampleBlocking:
+    def test_blocked_matches_single(self, rng, monkeypatch):
+        """The sample-blocked search path (big-scene memory bound) must be
+        bit-identical to the single-block path."""
+        pts, nrm = make_slab_cloud(rng, n=900)
+        cloud = CloudArrays.from_numpy(pts, normals=nrm)
+        cfg = DetectorConfig(search_neighbors_cap=256, frame_neighbors_cap=32)
+        spos = jnp.asarray(pts[:300])
+        smask = jnp.ones(300, bool)
+
+        g1 = cand.search_hands(cloud, spos, smask, cfg)
+        cand._search_kernel.clear_cache()
+        # Force tiny blocks: budget for (M=8, B=128, K=256) only.
+        monkeypatch.setattr(cand, "_BLOCK_ELEMS", 8 * 128 * 256)
+        g2 = cand.search_hands(cloud, spos, smask, cfg)
+        cand._search_kernel.clear_cache()
+
+        np.testing.assert_array_equal(np.asarray(g1.valid),
+                                      np.asarray(g2.valid))
+        v = np.asarray(g1.valid)
+        np.testing.assert_allclose(np.asarray(g1.position)[v],
+                                   np.asarray(g2.position)[v], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1.width)[v],
+                                   np.asarray(g2.width)[v], atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(g1.full_antipodal),
+                                      np.asarray(g2.full_antipodal))
