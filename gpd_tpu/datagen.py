@@ -26,6 +26,7 @@ import time
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from gpd_tpu.config import ConfigFile, DetectorConfig
@@ -87,7 +88,16 @@ class HDF5ShardWriter:
         import h5py
         self.path = path
         self.journal_path = path + ".journal"
-        self.h5 = h5py.File(path, "a")
+        try:
+            self.h5 = h5py.File(path, "a")
+        except OSError:
+            # A crash before the first flush leaves a truncated HDF5
+            # superblock; the journal is the source of truth, and a file
+            # that never flushed has nothing journaled worth keeping.
+            os.remove(path)
+            if os.path.exists(self.journal_path):
+                os.remove(self.journal_path)
+            self.h5 = h5py.File(path, "a")
         shape = (image_size, image_size, channels)
         if "images" not in self.h5:
             self.h5.create_dataset(
@@ -172,9 +182,13 @@ class DataGenerator:
             grasps, imgs = detect_core(view_cloud, spos, smask, det.params,
                                        k, cfg, cap)
             labels, _ = cand.reevaluate_hypotheses(mesh_cloud, grasps, cfg)
-            valid = np.asarray(grasps.valid)
-            labels = np.asarray(labels)[valid]
-            imgs = np.asarray(imgs)[valid]
+            # detect_core returns candidates valid-first: fetch the valid
+            # count, then transfer only that prefix. Pulling the full padded
+            # (G, s, s, C) tensor to host costs ~250 MB/attempt over remote
+            # TPU links and dominated generation time.
+            n_valid = int(np.asarray(jnp.sum(grasps.valid)))
+            labels = np.asarray(labels[:n_valid])
+            imgs = np.asarray(imgs[:n_valid])
             images_all.append(imgs)
             labels_all.append(labels)
             got = int(labels.sum())
