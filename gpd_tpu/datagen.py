@@ -23,6 +23,7 @@ import dataclasses
 import json
 import os
 import time
+import zlib
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import jax
@@ -93,7 +94,11 @@ class HDF5ShardWriter:
         except OSError:
             # A crash before the first flush leaves a truncated HDF5
             # superblock; the journal is the source of truth, and a file
-            # that never flushed has nothing journaled worth keeping.
+            # that never flushed has nothing journaled worth keeping. h5py
+            # raises OSError for lock contention / permissions too, so only
+            # recover destructively when the file is actually not-HDF5.
+            if not (os.path.exists(path) and not h5py.is_hdf5(path)):
+                raise
             os.remove(path)
             if os.path.exists(self.journal_path):
                 os.remove(self.journal_path)
@@ -185,10 +190,14 @@ class DataGenerator:
             # detect_core returns candidates valid-first: fetch the valid
             # count, then transfer only that prefix. Pulling the full padded
             # (G, s, s, C) tensor to host costs ~250 MB/attempt over remote
-            # TPU links and dominated generation time.
+            # TPU links and dominated generation time. The device-side slice
+            # is bucketed to multiples of 256 (every distinct slice shape is
+            # a remote compile); the exact trim happens on host.
             n_valid = int(np.asarray(jnp.sum(grasps.valid)))
-            labels = np.asarray(labels[:n_valid])
-            imgs = np.asarray(imgs[:n_valid])
+            bucket = min(-(-max(n_valid, 1) // 256) * 256,
+                         grasps.valid.shape[0])
+            labels = np.asarray(labels[:bucket])[:n_valid]
+            imgs = np.asarray(imgs[:bucket])[:n_valid]
             images_all.append(imgs)
             labels_all.append(labels)
             got = int(labels.sum())
@@ -224,7 +233,10 @@ class DataGenerator:
             writer = writer_test if (is_test and writer_test) else writer_train
             if writer.is_done(obj, view):
                 continue
-            key = jax.random.fold_in(jax.random.PRNGKey(seed), hash((obj, view)) & 0x7FFFFFFF)
+            # Stable per-(object, view) key: Python's hash() is salted per
+            # process (PYTHONHASHSEED), which would make reruns irreproducible.
+            salt = zlib.crc32(f"{obj}:{view}".encode()) & 0x7FFFFFFF
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), salt)
             images, labels = self.generate_view(vc, mc, key, rng)
             writer.append(obj, view, images, labels)
             n_done += 1

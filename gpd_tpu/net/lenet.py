@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Dict
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -37,7 +37,10 @@ def make_optimizer(lr: float = 1e-3, weight_decay: float = 5e-4):
 
 
 def loss_fn(params, images_u8, labels):
-    logits = lenet.forward(params, images_u8)
+    # Train in float32: the bf16 inference path uses preferred_element_type
+    # f32, whose conv transpose (f32 cotangent vs bf16 weights) does not
+    # type-check under grad; LeNet is tiny so f32 training costs nothing.
+    logits = lenet.forward(params, images_u8, compute_dtype=jnp.float32)
     ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
     return jnp.mean(ce), logits
 
@@ -53,12 +56,13 @@ def train_step(params, opt_state, images_u8, labels, tx):
 
 
 @jax.jit
-def eval_step(params, images_u8, labels):
-    logits = lenet.forward(params, images_u8)
-    loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
-        logits, labels))
-    correct = jnp.sum((jnp.argmax(logits, -1) == labels).astype(jnp.int32))
-    return loss, correct
+def eval_step(params, images_u8, labels, weight):
+    """Per-example-weighted eval so padded tail batches count correctly."""
+    logits = lenet.forward(params, images_u8, compute_dtype=jnp.float32)
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    loss_sum = jnp.sum(ce * weight)
+    hit = (jnp.argmax(logits, -1) == labels) & (weight > 0)
+    return loss_sum, jnp.sum(hit.astype(jnp.int32))
 
 
 class HDF5Dataset:
@@ -98,15 +102,24 @@ def evaluate(params, dataset: HDF5Dataset, batch_size: int = 256,
     total = correct = 0
     loss_sum = 0.0
     for images, labels in dataset.blocks():
-        for i in range(0, len(labels) - batch_size + 1, batch_size):
-            bi, bl = _device_batch(mesh, images[i:i + batch_size],
-                                   labels[i:i + batch_size])
-            loss, c = eval_step(params, bi, bl)
-            total += batch_size
+        for i in range(0, len(labels), batch_size):
+            bi_np = images[i:i + batch_size]
+            bl_np = labels[i:i + batch_size]
+            n = len(bl_np)
+            w_np = np.ones(n, np.float32)
+            if n < batch_size:   # pad the tail batch; weight masks the pad
+                pad = batch_size - n
+                bi_np = np.concatenate(
+                    [bi_np, np.zeros((pad,) + bi_np.shape[1:], bi_np.dtype)])
+                bl_np = np.concatenate([bl_np, np.zeros(pad, bl_np.dtype)])
+                w_np = np.concatenate([w_np, np.zeros(pad, np.float32)])
+            bi, bl = _device_batch(mesh, bi_np, bl_np)
+            loss, c = eval_step(params, bi, bl, jnp.asarray(w_np))
+            total += n
             correct += int(c)
-            loss_sum += float(loss) * batch_size
+            loss_sum += float(loss)
     if total == 0:
-        return 0.0, 0.0
+        return float("nan"), float("nan")
     return loss_sum / total, correct / total
 
 

@@ -111,6 +111,54 @@ class TestGenerateView:
             assert abs(int((labels == 1).sum()) -
                        int((labels == 0).sum())) <= 0
 
+    def test_two_run_reproducibility(self, tmp_path, rng):
+        """Two full generate() runs over the same work-list and seed must
+        produce bit-identical datasets: per-(object, view) PRNG keys derive
+        from a stable crc32 salt, not Python's per-process-salted hash()
+        (datagen.py generate)."""
+        import h5py
+        from gpd_tpu.datagen import HDF5ShardWriter
+
+        n = 1500
+
+        def cyl(theta, z):
+            pts = np.stack([0.03 * np.cos(theta), 0.03 * np.sin(theta), z],
+                           1).astype(np.float32)
+            nrm = np.stack([np.cos(theta), np.sin(theta), np.zeros(n)],
+                           1).astype(np.float32)
+            return pts, nrm
+
+        z = np.random.default_rng(6).uniform(-0.05, 0.05, n)
+        # View = half shell; mesh = full cylinder (positives need the
+        # opposing surface to exist in the ground-truth cloud).
+        vth = np.random.default_rng(5).uniform(-np.pi / 2, np.pi / 2, n)
+        mth = np.random.default_rng(7).uniform(0, 2 * np.pi, n)
+        vp_, vn_ = cyl(vth, z)
+        mp_, mn_ = cyl(mth, z)
+        view = CloudArrays.from_numpy(vp_, normals=vn_)
+        mesh = CloudArrays.from_numpy(mp_, normals=mn_)
+
+        cfg = DetectorConfig(num_samples=16, search_neighbors_cap=256,
+                             frame_neighbors_cap=32, normals_neighbors_cap=32,
+                             shadow_voxel_cap=256)
+        det = GraspDetector(cfg)
+        gen = DataGenerator(det, DataGenConfig(min_grasps_per_view=1,
+                                               max_grasps_per_view=50,
+                                               test_views=()))
+        items = [("obj_a", 0, view, mesh), ("obj_a", 1, view, mesh)]
+        outs = []
+        for run in range(2):
+            path = str(tmp_path / f"run{run}.h5")
+            w = HDF5ShardWriter(path, cfg.image_geometry.size,
+                                cfg.image_geometry.num_channels)
+            gen.generate(items, w, seed=3)
+            w.close()
+            with h5py.File(path, "r") as f:
+                outs.append((f["images"][:], f["labels"][:]))
+        assert len(outs[0][1]) > 0
+        np.testing.assert_array_equal(outs[0][0], outs[1][0])
+        np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
 
 class TestMultiView:
     def test_fuse(self, rng):

@@ -20,8 +20,10 @@ import time
 import numpy as np
 
 
-VIEW_CAPACITY = 4096     # fixed padding -> one detect_core compile for all
+VIEW_CAPACITY = int(os.environ.get("GPD_VIEW_CAPACITY", 4096))
+                         # fixed padding -> one detect_core compile for all
                          # views (remote compiles are minutes each)
+NUM_SAMPLES = int(os.environ.get("GPD_NUM_SAMPLES", 300))
 
 
 def build_items(det, num_objects: int, views_per_object: int, seed: int = 0):
@@ -48,6 +50,10 @@ def build_items(det, num_objects: int, views_per_object: int, seed: int = 0):
 
 def main():
     import jax
+    if os.environ.get("GPD_FORCE_CPU"):
+        # In-process override (env JAX_PLATFORMS=cpu does not stick under the
+        # axon sitecustomize, CLAUDE.md); effective until first backend use.
+        jax.config.update("jax_platforms", "cpu")
 
     from gpd_tpu.config import load_config
     from gpd_tpu.datagen import DataGenConfig, DataGenerator, HDF5ShardWriter
@@ -59,7 +65,7 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
 
     cfg = load_config("/root/reference/cfg/eigen_params.cfg")
-    cfg = dataclasses.replace(cfg, num_samples=300, min_inliers=0,
+    cfg = dataclasses.replace(cfg, num_samples=NUM_SAMPLES, min_inliers=0,
                               weights_file="")
     det = GraspDetector(cfg)
 

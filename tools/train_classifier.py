@@ -22,6 +22,8 @@ import numpy as np
 def main():
     import h5py
     import jax
+    if os.environ.get("GPD_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
 
     from gpd_tpu.net import lenet, train
 
@@ -35,6 +37,8 @@ def main():
         n = f["labels"].shape[0]
     out = (sys.argv[3] if len(sys.argv) > 3
            else lenet.default_params_path(num_channels))
+    if not out.endswith(".npz"):
+        out += ".npz"   # np.savez appends it silently otherwise
     print(f"training on {n} examples ({num_channels} channels), "
           f"{epochs} epochs -> {out}")
 
