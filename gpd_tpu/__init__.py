@@ -9,6 +9,15 @@ import os as _os
 
 import jax as _jax
 
+if _os.environ.get("GPD_FORCE_CPU"):
+    # Real CPU override for apps/tools: the TPU harness's sitecustomize
+    # clobbers an inherited JAX_PLATFORMS=cpu at interpreter start, so env
+    # alone cannot switch backends (CLAUDE.md); the jax.config update works
+    # as long as it happens before first backend use — which importing this
+    # package guarantees for every gpd_tpu entry point.
+    _jax.config.update("jax_platforms", "cpu")
+    _os.environ["JAX_PLATFORMS"] = "cpu"
+
 if (_os.environ.get("GPD_TPU_DISABLE_CACHE") != "1"
         and not _os.environ.get("JAX_PLATFORMS", "").startswith("cpu")):
     # CPU runs skip the cache: XLA:CPU AOT artifacts embed machine features

@@ -3,17 +3,19 @@
 TPU-native equivalent of the reference's
 ``SequentialImportanceSampling::detectGrasps``
 (reference: src/gpd/sequential_importance_sampling.cpp:54-270): each
-iteration re-runs the jitted detection core at freshly drawn samples; the
-Gaussian mixture refit uses the accumulated surviving hand-set samples.
-Sampling uses explicit jax.random keys instead of the reference's unseeded
-rand()/mt19937.
+iteration runs the candidates-only kernel at freshly drawn samples (the
+reference's loop does no classification, .cpp:112-157); the Gaussian
+mixture refit uses the accumulated surviving hand-set samples; descriptors
++ CNN run once at the end over all accumulated candidates
+(pruneGraspCandidates, grasp_detector.cpp:529-552). Sampling uses explicit
+jax.random keys instead of the reference's unseeded rand()/mt19937.
 
 Multi-device: pass a ``jax.sharding.Mesh`` (``mesh=``) and every round's
 candidate evaluation shards the sample axis across it via
-``gpd_tpu.parallel.sharded.detect_sharded_raw``; the surviving grasp batch
-(and with it the mixture centers for the refit) is all-gathered when the
-sharded output is consumed — the "psum of sufficient statistics" step of
-SURVEY.md §5. Single-device when ``mesh`` is None.
+``gpd_tpu.parallel.sharded.candidates_sharded_raw``; the surviving grasp
+batch (and with it the mixture centers for the refit) is all-gathered when
+the sharded output is consumed — the "psum of sufficient statistics" step
+of SURVEY.md §5. Single-device when ``mesh`` is None.
 """
 
 from __future__ import annotations
@@ -28,8 +30,8 @@ import numpy as np
 
 from gpd_tpu.config import CEMConfig, DetectorConfig
 from gpd_tpu.core.types import CloudArrays, Grasps
-from gpd_tpu.detector import GraspDetector, detect_core, select_and_cluster
-from gpd_tpu import select as sel
+from gpd_tpu.detector import (GraspDetector, candidates_stage,
+                              score_candidates, select_and_cluster)
 from gpd_tpu.ops import preprocess as pp
 
 SUM_OF_GAUSSIANS = 0
@@ -114,46 +116,43 @@ class SequentialImportanceSampling:
 
         mesh = self.mesh
         n_dev = mesh.shape[self.mesh_axis] if mesh is not None else 1
+        sharded = None
+        params = self.detector.params
         if mesh is not None:
             from gpd_tpu.parallel import sharded
             cloud = sharded.replicate(mesh, cloud)
-            params = sharded.replicate(mesh, self.detector.params)
+            params = sharded.replicate(mesh, params)
             cap = self.detector.image_cap(
                 -(-cem.num_samples_per_iteration // n_dev))
 
-        all_grasps = []
+        # Each round stores (candidates, sample_pos, sample_mask, key) so
+        # classification can run once at the end; per-round counts stay on
+        # device (no host sync inside the loop).
+        rounds = []
         all_centers = []
         all_center_masks = []
+        round_counts = []
 
         def run_round(spos, smask, k):
+            """Candidates-only evaluation (the reference's per-iteration
+            work: generateGraspCandidates + filters, no CNN)."""
             if mesh is not None and n_dev > 1:
-                from gpd_tpu.parallel import sharded
                 spos, smask = sharded.shard_samples(mesh, spos, smask,
                                                     self.mesh_axis)
-                g = sharded.detect_sharded_raw(
-                    cloud, spos, smask, params, k, cfg, cap, mesh,
-                    self.mesh_axis)
+                g = sharded.candidates_sharded_raw(cloud, spos, smask, cfg,
+                                                   mesh, self.mesh_axis)
             else:
-                g, _ = detect_core(cloud, spos, smask, self.detector.params,
-                                   k, cfg, cap, scores_only=True)
-            hg = cfg.hand_geometry
-            g = sel.filter_grasps_workspace(
-                g, cfg.workspace_grasps, cfg.min_aperture, cfg.max_aperture,
-                hg.outer_diameter, hg.depth)
-            if cfg.filter_approach_direction:
-                g = sel.filter_grasps_direction(g, cfg.direction, cfg.thresh_rad)
+                g = candidates_stage(cloud, spos, smask, cfg)
+            rounds.append((g, spos, smask, k))
+            all_centers.append(g.sample)
+            all_center_masks.append(g.valid)
+            round_counts.append(jnp.sum(g.valid))
             return g
 
         kk, key = jax.random.split(key)
-        g = run_round(sample_pos, valid, kk)
-        all_grasps.append(g)
-        all_centers.append(g.sample)
-        all_center_masks.append(g.valid)
-        if verbose:
-            print(f"Initially detected grasp candidates: "
-                  f"{int(np.asarray(g.valid).sum())}")
+        run_round(sample_pos, valid, kk)
 
-        # 2. Importance-sampling rounds (.cpp:112-157).
+        # 2. Importance-sampling rounds (.cpp:112-157): candidates only.
         for it in range(cem.num_iterations):
             centers = jnp.concatenate(all_centers)
             cmask = jnp.concatenate(all_center_masks)
@@ -166,23 +165,36 @@ class SequentialImportanceSampling:
                                             cfg.workspace, n_rand)
             spos = jnp.concatenate([gs, us])
             smask = jnp.ones(spos.shape[0], bool)
-            g = run_round(spos, smask, kd)
-            all_grasps.append(g)
-            all_centers.append(g.sample)
-            all_center_masks.append(g.valid)
-            if verbose:
-                print(f"Added {int(np.asarray(g.valid).sum())} grasp "
-                      f"candidates in round {it}.")
+            run_round(spos, smask, kd)
 
-        # 3. Prune by score (pruneGraspCandidates, grasp_detector.cpp:529-552)
+        # 3. Classify once over all accumulated candidates, then prune by
+        # score (pruneGraspCandidates, grasp_detector.cpp:529-552). Each
+        # round scores with its own sample context (neighborhoods/shadows
+        # are per-sample).
+        scored = []
+        for g, spos, smask, k in rounds:
+            if mesh is not None and n_dev > 1:
+                sg = sharded.score_sharded_raw(cloud, g, spos, smask, params,
+                                               k, cfg, cap, mesh,
+                                               self.mesh_axis)
+            else:
+                sg, _ = score_candidates(cloud, g, spos, smask, params, k,
+                                         cfg, cap, scores_only=True)
+            scored.append(sg)
         merged = jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs), *all_grasps)
+            lambda *xs: jnp.concatenate(xs), *scored)
         merged = dataclasses.replace(
             merged, valid=merged.valid & (merged.score > cem.min_score))
 
         # 4. Cluster + final ordering (.cpp:174-186).
         out = select_and_cluster(merged, cfg)
         if verbose:
+            # Count fetches happen after the whole pipeline is enqueued —
+            # they never serialize the round loop's dispatch.
+            counts = [int(np.asarray(c)) for c in round_counts]
+            print(f"Initially detected grasp candidates: {counts[0]}")
+            for it, c in enumerate(counts[1:]):
+                print(f"Added {c} grasp candidates in round {it}.")
             print(f"Final result: found {int(np.asarray(out.valid).sum())} "
                   f"grasps.")
             print(f"Total runtime: {time.time() - t0:.4f}s")

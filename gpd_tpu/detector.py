@@ -78,6 +78,14 @@ def _sample_kernel(cloud: CloudArrays, key, num_samples: int,
     return pos, valid
 
 
+def _sync(x):
+    """Synchronize on a computation via a device->host fetch of one element
+    (block_until_ready can return early on the axon backend, CLAUDE.md)."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.ravel()[:1])
+    return x
+
+
 def _compact_hands(grasps: Grasps, cap: int) -> Grasps:
     """Device-side compaction: bring valid hands to the front (stable), keep
     ``cap`` slots. Mirrors the reference's createImageList compaction
@@ -180,14 +188,11 @@ def image_inputs_stage(cloud: CloudArrays, sample_pos: jax.Array,
     return nn_idx, nn_valid, shadow_pts, shadow_valid
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "image_cap"))
-def descriptors_stage(cloud: CloudArrays, grasps: Grasps, nn_idx, nn_valid,
-                      shadow_pts, shadow_valid, cfg: DetectorConfig,
-                      image_cap: int) -> Tuple[Grasps, jax.Array]:
-    """Step 3 alone (createImages, grasp_detector.cpp:260-265) for the
-    staged-timing path: valid-first compaction to ``image_cap`` hands, one
-    rasterization pass. Returns (compacted Grasps, images)."""
-    g = _compact_hands(grasps, image_cap)
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _images_for(cloud: CloudArrays, g: Grasps, nn_idx, nn_valid,
+                shadow_pts, shadow_valid, cfg: DetectorConfig) -> jax.Array:
+    """Rasterize grasp images for an (already compacted) batch of hands
+    (createImageList, image_generator.cpp:72-99)."""
     identity_nn = nn_idx is None
     sid = g.sample_id
     h_nvalid = nn_valid[sid] & g.valid[:, None]
@@ -201,67 +206,74 @@ def descriptors_stage(cloud: CloudArrays, grasps: Grasps, nn_idx, nn_valid,
         h_idx = nn_idx[sid]
         h_pts = cloud.points[h_idx]
         h_nrm = cloud.normals[h_idx]
-    images = img.make_images(
+    return img.make_images(
         h_pts, h_nrm, h_nvalid, g.orientation, g.sample, g.bottom,
         g.center, g.valid, cfg.image_geometry,
         shadow_pts=None if shadow_pts is None else shadow_pts[sid],
         shadow_valid=None if shadow_valid is None else shadow_valid[sid])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "image_cap"))
+def descriptors_stage(cloud: CloudArrays, grasps: Grasps, nn_idx, nn_valid,
+                      shadow_pts, shadow_valid, cfg: DetectorConfig,
+                      image_cap: int) -> Tuple[Grasps, jax.Array]:
+    """Step 3 alone (createImages, grasp_detector.cpp:260-265) for the
+    staged-timing path: valid-first compaction to ``image_cap`` hands, one
+    rasterization pass. Returns (compacted Grasps, images)."""
+    g = _compact_hands(grasps, image_cap)
+    images = _images_for(cloud, g, nn_idx, nn_valid, shadow_pts,
+                         shadow_valid, cfg)
     return g, images
+
+
+@functools.partial(jax.jit, static_argnames=("padded",))
+def _order_valid_first(grasps: Grasps, padded: int) -> Grasps:
+    """Reorder valid-first (stable) and pad to ``padded`` slots with invalid
+    entries, so fixed-size chunks cover every candidate."""
+    total = grasps.capacity
+    order = jnp.argsort(~grasps.valid, stable=True)
+    order = jnp.pad(order, (0, padded - total))
+    g_all = grasps.take(order)
+    if padded > total:
+        g_all = dataclasses.replace(
+            g_all, valid=g_all.valid & (jnp.arange(padded) < total))
+    return g_all
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _slice_grasps(g_all: Grasps, start, cap: int) -> Grasps:
+    """One-compile chunk slicer (start is traced, so every chunk index
+    reuses the same program)."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.dynamic_slice_in_dim(a, start, cap, 0), g_all)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "image_cap",
                                              "scores_only"))
-def detect_core(cloud: CloudArrays, sample_pos: jax.Array,
-                sample_mask: jax.Array, params, key: jax.Array,
-                cfg: DetectorConfig, image_cap: int,
-                scores_only: bool = False) -> Tuple[Grasps, jax.Array]:
-    """frames -> candidates -> filters -> images -> CNN scores.
-
-    Returns (scored Grasps in valid-first order, images). With
-    ``scores_only=True`` the image tensor is not returned (``None``): the
-    serving path never materializes the (G, 60, 60, C) uint8 batch in HBM.
-    Pipeline = grasp_detector.cpp:192-273 steps 1-4.
-    """
-    # 1-2. Candidates + filters.
-    grasps = candidates_stage(cloud, sample_pos, sample_mask, cfg)
-
+def score_candidates(cloud: CloudArrays, grasps: Grasps,
+                     sample_pos: jax.Array, sample_mask: jax.Array, params,
+                     key: jax.Array, cfg: DetectorConfig, image_cap: int,
+                     scores_only: bool = True) -> Tuple[Grasps, jax.Array]:
+    """Images + CNN scores for an *existing* candidate batch — the
+    reference's pruneGraspCandidates shape (grasp_detector.cpp:529-552):
+    descriptor inputs, valid-first ordering, then image + score in
+    fixed-size chunks so the candidate count is unbounded while per-chunk
+    memory stays capped. ``sample_pos``/``key`` must be the ones the
+    candidates were generated from (neighborhoods and shadows are
+    per-sample). Returns (scored Grasps in valid-first order, images)."""
     # 3. Descriptor inputs (plane removal, neighborhoods, shadows).
     nn_idx, nn_valid, shadow_pts, shadow_valid = image_inputs_stage(
         cloud, sample_pos, sample_mask, key, cfg)
-    identity_nn = nn_idx is None
 
-    # Valid-first ordering, then image + score in fixed-size chunks so the
-    # candidate count is unbounded while per-chunk memory stays capped.
     total = grasps.capacity
     n_chunks = max(1, -(-total // image_cap))
-    order = jnp.argsort(~grasps.valid, stable=True)
-    pad = n_chunks * image_cap - total
-    order = jnp.pad(order, (0, pad))
-    g_all = grasps.take(order)
-    if pad:
-        g_all = dataclasses.replace(
-            g_all, valid=g_all.valid & (jnp.arange(total + pad) < total))
+    g_all = _order_valid_first(grasps, n_chunks * image_cap)
 
     ig = cfg.image_geometry
 
     def run_chunk(gc: Grasps):
-        sid = gc.sample_id
-        n = sid.shape[0]
-        h_nvalid = nn_valid[sid] & gc.valid[:, None]
-        if identity_nn:
-            h_pts = jnp.broadcast_to(cloud.points[None],
-                                     (n,) + cloud.points.shape)
-            h_nrm = jnp.broadcast_to(cloud.normals[None],
-                                     (n,) + cloud.normals.shape)
-        else:
-            h_idx = nn_idx[sid]
-            h_pts = cloud.points[h_idx]
-            h_nrm = cloud.normals[h_idx]
-        images = img.make_images(
-            h_pts, h_nrm, h_nvalid, gc.orientation, gc.sample, gc.bottom,
-            gc.center, gc.valid, ig,
-            shadow_pts=None if shadow_pts is None else shadow_pts[sid],
-            shadow_valid=None if shadow_valid is None else shadow_valid[sid])
+        images = _images_for(cloud, gc, nn_idx, nn_valid, shadow_pts,
+                             shadow_valid, cfg)
         scores = lenet.score(params, images)
         if scores_only:
             return (scores,)
@@ -299,6 +311,25 @@ def detect_core(cloud: CloudArrays, sample_pos: jax.Array,
     return g, images
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "image_cap",
+                                             "scores_only"))
+def detect_core(cloud: CloudArrays, sample_pos: jax.Array,
+                sample_mask: jax.Array, params, key: jax.Array,
+                cfg: DetectorConfig, image_cap: int,
+                scores_only: bool = False) -> Tuple[Grasps, jax.Array]:
+    """frames -> candidates -> filters -> images -> CNN scores.
+
+    Returns (scored Grasps in valid-first order, images). With
+    ``scores_only=True`` the image tensor is not returned (``None``): the
+    serving path never materializes the (G, 60, 60, C) uint8 batch in HBM.
+    Pipeline = grasp_detector.cpp:192-273 steps 1-4.
+    """
+    # 1-2. Candidates + filters.
+    grasps = candidates_stage(cloud, sample_pos, sample_mask, cfg)
+    return score_candidates(cloud, grasps, sample_pos, sample_mask, params,
+                            key, cfg, image_cap, scores_only)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def select_and_cluster(grasps: Grasps, cfg: DetectorConfig) -> Grasps:
     """Steps 5-7 of detectGrasps (grasp_detector.cpp:275-311): top-k
@@ -306,6 +337,13 @@ def select_and_cluster(grasps: Grasps, cfg: DetectorConfig) -> Grasps:
     fallback (append the selected hands), final score-descending sort."""
     g, _ = sel.select_top_k(grasps, cfg.num_selected)
     if cfg.min_inliers > 0:
+        # select_top_k reorders score-descending, so the selected hands
+        # occupy the leading rows: slice to them before the O(G^2)
+        # pairwise clustering (at 40k candidates the full-capacity pairwise
+        # matrix alone is ~6 GB HBM; the reference likewise clusters the
+        # *selected* set, grasp_detector.cpp:283-295).
+        k = min(g.capacity, _next_size(cfg.num_selected, 64))
+        g = jax.tree_util.tree_map(lambda a: a[:k], g)
         clustered = sel.cluster_grasps(g, cfg.min_inliers)
         n_clusters = jnp.sum(clustered.valid)
         keep_originals = n_clusters <= 3
@@ -331,6 +369,12 @@ class GraspDetector:
         else:
             C = self.cfg.image_geometry.num_channels
             try:
+                if not self.cfg.weights_file:
+                    # Empty weights_file means "use the packaged trained
+                    # checkpoint" (the reference always ships weights,
+                    # eigen_classifier.cpp:28-50); random init is only the
+                    # last-resort fallback below.
+                    raise FileNotFoundError("no weights_file configured")
                 self.params = lenet.load_params(self.cfg.weights_file, C)
             except (FileNotFoundError, ValueError, OSError) as e:
                 # Fall back to the packaged trained checkpoint (the
@@ -427,7 +471,8 @@ class GraspDetector:
                sample_pos: Optional[jax.Array] = None,
                sample_mask: Optional[jax.Array] = None,
                key: Optional[jax.Array] = None,
-               verbose: bool = True, staged: bool = False) -> Grasps:
+               verbose: bool = True, staged: bool = False,
+               staged_cap: Optional[int] = None) -> Grasps:
         """Full detectGrasps pipeline with per-stage timing.
 
         ``staged=True`` runs the stages as separate device programs so the
@@ -437,7 +482,7 @@ class GraspDetector:
         everything fused in one program and reports the combined number."""
         if staged:
             return self._detect_staged(cloud, sample_pos, sample_mask, key,
-                                       verbose)
+                                       verbose, staged_cap)
         from gpd_tpu import profiling
         cfg = self.effective_config(cloud)
         key = key if key is not None else jax.random.PRNGKey(0)
@@ -452,13 +497,13 @@ class GraspDetector:
                 g, _ = detect_core(cloud, sample_pos, sample_mask,
                                    self.params, key, cfg, cap,
                                    scores_only=True)
-                g.valid.block_until_ready()
+                _sync(g)
             t_detect = time.time() - t_c0
 
             t_s0 = time.time()
             with profiling.span("select_and_cluster"):
                 out = select_and_cluster(g, cfg)
-                out.valid.block_until_ready()
+                _sync(out)
             t_select = time.time() - t_s0
             t_total = time.time() - t0
 
@@ -481,39 +526,54 @@ class GraspDetector:
         return out
 
     def _detect_staged(self, cloud: CloudArrays, sample_pos, sample_mask,
-                       key, verbose: bool) -> Grasps:
+                       key, verbose: bool,
+                       staged_cap: Optional[int] = None) -> Grasps:
         """Stage-separated detection with the reference's four-line runtime
-        report (grasp_detector.cpp:313-320)."""
-        def sync(x):
-            leaf = jax.tree_util.tree_leaves(x)[0]
-            np.asarray(leaf.ravel()[:1])   # device->host fetch (CLAUDE.md)
-            return x
-
+        report (grasp_detector.cpp:313-320). Images + scores run in
+        fixed-size chunks over *all* candidates (matching detect_core's
+        coverage; no candidate cap), with per-chunk device->host syncs to
+        attribute time to the descriptor vs classification stages."""
         cfg = self.effective_config(cloud)
         key = key if key is not None else jax.random.PRNGKey(0)
         t0 = time.time()
         if sample_pos is None:
             sample_pos, sample_mask = self.sample_cloud(cloud, key)
         total = sample_pos.shape[0] * cfg.num_orientations * len(cfg.hand_axes)
-        cap = min(_next_size(total, 256), 4096)
+        cap = staged_cap or min(_next_size(total, 256), 4096)
+        n_chunks = max(1, -(-total // cap))
 
         t = time.time()
-        grasps = sync(candidates_stage(cloud, sample_pos, sample_mask, cfg))
+        grasps = _sync(candidates_stage(cloud, sample_pos, sample_mask, cfg))
+        # Valid-first ordering lets the chunk loop stop at the last chunk
+        # containing a valid candidate (the tail is all-invalid by
+        # construction); one count fetch decides how many chunks run.
+        g_all = _order_valid_first(grasps, n_chunks * cap)
+        n_valid = int(np.asarray(jnp.sum(g_all.valid)))
         t_cand = time.time() - t
 
         t = time.time()
-        nn_idx, nn_valid, spts, svalid = sync(image_inputs_stage(
+        nn_idx, nn_valid, spts, svalid = _sync(image_inputs_stage(
             cloud, sample_pos, sample_mask, key, cfg))
-        g, images = sync(descriptors_stage(cloud, grasps, nn_idx, nn_valid,
-                                           spts, svalid, cfg, cap))
+        live_chunks = max(1, -(-n_valid // cap)) if n_valid else 1
+        chunk_images = []
+        for ci in range(live_chunks):
+            gc = _slice_grasps(g_all, ci * cap, cap)
+            chunk_images.append(_sync(_images_for(
+                cloud, gc, nn_idx, nn_valid, spts, svalid, cfg)))
         t_img = time.time() - t
 
         t = time.time()
-        scores = sync(lenet.score(self.params, images))
+        chunk_scores = [_sync(lenet.score(self.params, im))
+                        for im in chunk_images]
         t_cls = time.time() - t
 
-        g = dataclasses.replace(g, score=jnp.where(g.valid, scores, -jnp.inf))
-        out = sync(select_and_cluster(g, cfg))
+        pad = n_chunks * cap - live_chunks * cap
+        scores = jnp.concatenate(
+            chunk_scores + ([jnp.full((pad,), -jnp.inf, jnp.float32)]
+                            if pad else []))
+        g = dataclasses.replace(
+            g_all, score=jnp.where(g_all.valid, scores, -jnp.inf))
+        out = _sync(select_and_cluster(g, cfg))
         t_total = time.time() - t0
 
         self.last_runtimes = dict(candidates=t_cand, images=t_img,

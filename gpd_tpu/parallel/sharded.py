@@ -26,7 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gpd_tpu.config import DetectorConfig
 from gpd_tpu.core.types import CloudArrays, Grasps
-from gpd_tpu.detector import detect_core, select_and_cluster
+from gpd_tpu.detector import (candidates_stage, detect_core,
+                              score_candidates, select_and_cluster)
 
 
 def default_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
@@ -97,6 +98,52 @@ def detect_sharded_raw(cloud: CloudArrays, sample_pos, sample_mask, params,
         out_specs=P(axis),
         check_vma=False,
     )(cloud, sample_pos, sample_mask, params, key)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis"))
+def candidates_sharded_raw(cloud: CloudArrays, sample_pos, sample_mask,
+                           cfg: DetectorConfig, mesh: Mesh,
+                           axis: str = "dp") -> Grasps:
+    """Candidate-parallel candidates_stage (no descriptors, no CNN): the
+    per-round cost shape of the reference's CEM loop
+    (sequential_importance_sampling.cpp:112-157 runs candidates-only per
+    iteration; classification happens once at the final prune). Sample axis
+    sharded; the returned Grasps batch concatenates device shards in axis
+    order, so slicing it back with in_specs=P(axis) restores each device's
+    own candidates (sample_id stays local to the device's sample shard)."""
+    def local(cloud_l, spos_l, smask_l):
+        return candidates_stage(cloud_l, spos_l, smask_l, cfg)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )(cloud, sample_pos, sample_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "image_cap", "mesh",
+                                             "axis"))
+def score_sharded_raw(cloud: CloudArrays, grasps: Grasps, sample_pos,
+                      sample_mask, params, key, cfg: DetectorConfig,
+                      image_cap: int, mesh: Mesh, axis: str = "dp") -> Grasps:
+    """Candidate-parallel score_candidates: grasps produced by
+    candidates_sharded_raw (same sample shards, same axis order) get their
+    descriptors + CNN scores on the device that owns their sample shard —
+    the distributed pruneGraspCandidates step of the CEM loop."""
+    def local(cloud_l, g_l, spos_l, smask_l, params_l, key_l):
+        me = jax.lax.axis_index(axis)
+        g, _ = score_candidates(cloud_l, g_l, spos_l, smask_l, params_l,
+                                jax.random.fold_in(key_l, me), cfg,
+                                image_cap, scores_only=True)
+        return g
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )(cloud, grasps, sample_pos, sample_mask, params, key)
 
 
 def sharded_detect_host(detector, cloud: CloudArrays, sample_pos, sample_mask,

@@ -90,6 +90,59 @@ def main():
     res["local_pos_norm_max"] = float(
         np.abs(local_pos).max() if len(local_pos) else 0.0)
 
+    # (c) One CEM round over the GLOBAL 2-host x 2-device mesh: per-round
+    # candidate evaluation shards the sample axis across all 4 devices
+    # (candidates_sharded_raw), the mixture refit consumes the all-gathered
+    # survivor set, and classification runs sharded at the final prune —
+    # the multi-host story for the L4 loop (SURVEY.md §5).
+    from gpd_tpu.cem import SequentialImportanceSampling
+    from gpd_tpu.config import CEMConfig
+
+    cem = CEMConfig(num_init_samples=4, num_iterations=1,
+                    num_samples_per_iteration=8, min_score=-1e9)
+    sis = SequentialImportanceSampling(det, cem, mesh=mesh)
+    cem_out = sis.detect(cloud, key=jax.random.PRNGKey(1), verbose=False)
+    res["cem_valid"] = int(np.asarray(jnp.sum(cem_out.valid)))
+
+    # (d) 2-shard data generation: the (object, view) work-list round-robins
+    # across processes, each host writing its own HDF5 shard; merged row
+    # counts must cover the whole list (the multi-host story for L4').
+    import tempfile
+    from gpd_tpu.core.types import CloudArrays as CA
+    from gpd_tpu.datagen import DataGenConfig, DataGenerator, HDF5ShardWriter
+    from gpd_tpu.datasets import synthetic as syn
+
+    gen_rng = np.random.default_rng(11)
+    items = []
+    for name, mpts, mnrm in syn.object_zoo(2, seed=3, points_per_object=2500):
+        mesh_c = CA.from_numpy(mpts, normals=mnrm,
+                               view_points=np.zeros((1, 3), np.float32))
+        cam = syn.view_cameras(gen_rng, 1)[0]
+        vpts = syn.render_view(gen_rng, mpts, mnrm, cam)
+        view_c = det.preprocess_cloud(vpts, view_points=cam.reshape(1, 3))
+        items.append((name, 0, view_c, mesh_c))
+
+    gcfg = DataGenConfig(min_grasps_per_view=4, max_grasps_per_view=50,
+                         num_samples=16, test_views=())
+    import dataclasses
+    det_dg = GraspDetector(dataclasses.replace(cfg, num_samples=16),
+                           params=det.params)
+    gen = DataGenerator(det_dg, gcfg)
+    shard_dir = os.path.join(os.path.dirname(out_path), "dgen")
+    os.makedirs(shard_dir, exist_ok=True)
+    wtr = HDF5ShardWriter(os.path.join(shard_dir, f"train_{pid}.h5"),
+                          image_size=cfg.image_geometry.size,
+                          channels=cfg.image_geometry.num_channels)
+    gen.generate(items, wtr, seed=5, process_index=pid, process_count=2)
+    my_rows = int(wtr.h5["labels"].shape[0])
+    my_items_dg = sorted(wtr.done)
+    wtr.close()
+    merged_rows = multihost_utils.process_allgather(jnp.asarray([my_rows]))
+    res["dgen_rows"] = my_rows
+    res["dgen_items"] = [list(t) for t in my_items_dg]
+    res["dgen_merged_rows"] = [int(x)
+                               for x in np.asarray(merged_rows).ravel()]
+
     with open(out_path, "w") as f:
         json.dump(res, f)
 

@@ -150,6 +150,57 @@ def rot_axis(axis, ang):
 ROT_BINORMAL = np.diag([-1.0, 1.0, -1.0])
 
 
+def oracle_filter_workspace(pos, R, width, workspace, min_aperture,
+                            max_aperture, od, depth):
+    """filterGraspsWorkspace transcription (grasp_detector.cpp:334-398),
+    including the right_top = left_bottom + depth*approach quirk
+    (:362-363). Returns True if the grasp survives."""
+    if not (min_aperture <= width <= max_aperture):
+        return False
+    approach, binormal = R[:, 0], R[:, 1]
+    half_w = 0.5 * od
+    left_bottom = pos + half_w * binormal
+    right_bottom = pos - half_w * binormal
+    left_top = left_bottom + depth * approach
+    right_top = left_bottom + depth * approach
+    appr = pos - 0.05 * approach
+    pts = np.stack([left_bottom, right_bottom, left_top, right_top, appr])
+    w = workspace
+    lo = np.array([w[0], w[2], w[4]])
+    hi = np.array([w[1], w[3], w[5]])
+    return bool((pts.min(0) >= lo).all() and (pts.max(0) <= hi).all())
+
+
+def oracle_pipeline_candidates(points, normals, samples, frames, fvalid, cfg):
+    """Full candidate-pipeline oracle for a fixed sample set: per-sample
+    hand-search neighborhood -> evalHandSet -> workspace/aperture filters
+    (grasp_detector.cpp:192-258 steps 1-2, with frames supplied so the
+    orientation grids coincide). Returns a flat list of records ordered
+    (sample-major, then axis x orientation) exactly like the kernel's
+    Grasps layout."""
+    out = []
+    M = cfg.num_orientations * len(cfg.hand_axes)
+    hg = cfg.hand_geometry
+    for s in range(len(samples)):
+        if not fvalid[s]:
+            out.extend([dict(valid=False)] * M)
+            continue
+        d = np.linalg.norm(points - samples[s], axis=1)
+        nb = d <= cfg.hand_search_radius
+        recs = oracle_eval_hand_set(
+            points[nb], normals[nb], samples[s], frames[s],
+            cfg.angles, cfg.hand_axes, hg,
+            P=cfg.num_finger_placements, deepen=cfg.deepen_hand)
+        for r in recs:
+            if r["valid"]:
+                r["valid"] = oracle_filter_workspace(
+                    r["pos"], r["R"], r["width"], cfg.workspace_grasps,
+                    cfg.min_aperture, cfg.max_aperture,
+                    hg.outer_diameter, hg.depth)
+        out.extend(recs)
+    return out
+
+
 def oracle_eval_hand_set(points, normals, sample, frame, angles, hand_axes,
                          hg, P=10, deepen=True, friction=20.0, min_viable=6):
     """hand_set.cpp:31-116 evalHandSet/evalHands for one sample.

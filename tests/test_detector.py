@@ -320,3 +320,31 @@ class TestStagedDetect:
         np.testing.assert_allclose(np.sort(np.asarray(a.score)[va]),
                                    np.sort(np.asarray(b.score)[vb]),
                                    atol=1e-5)
+
+    def test_staged_chunks_cover_all_candidates(self, rng):
+        """Staged path with more valid candidates than one image chunk: the
+        chunk loop must score every valid hand (regression for the former
+        silent cap at the first `image_cap` hands), matching the fused
+        path's selection exactly."""
+        n = 2500
+        theta = rng.uniform(0, 2 * np.pi, n)
+        pts = np.stack([0.03 * np.cos(theta), 0.03 * np.sin(theta),
+                        rng.uniform(-0.05, 0.05, n)], 1).astype(np.float32)
+        nrm = np.stack([np.cos(theta), np.sin(theta), np.zeros(n)],
+                       1).astype(np.float32)
+        cloud = CloudArrays.from_numpy(pts, normals=nrm)
+        cfg = small_cfg(num_samples=48, num_selected=200)
+        det = GraspDetector(cfg)
+        spos = jnp.asarray(pts[:48])
+        smask = jnp.ones(48, bool)
+        a = det.detect(cloud, spos, smask, key=jax.random.PRNGKey(3),
+                       verbose=False)
+        # cap=128 < 48*8=384 candidates -> 3 chunks, >1 live.
+        b = det.detect(cloud, spos, smask, key=jax.random.PRNGKey(3),
+                       verbose=False, staged=True, staged_cap=128)
+        va, vb = np.asarray(a.valid), np.asarray(b.valid)
+        assert va.sum() == vb.sum()
+        assert va.sum() > 128, "test needs more valid hands than one chunk"
+        np.testing.assert_allclose(np.sort(np.asarray(a.score)[va]),
+                                   np.sort(np.asarray(b.score)[vb]),
+                                   atol=1e-5)

@@ -1,0 +1,158 @@
+"""End-to-end golden parity on the krylon.pcd fixture (SURVEY.md §4,
+BASELINE.md): at a fixed 100-sample set, the TPU candidate pipeline
+(frames -> hand search -> workspace/aperture filters,
+grasp_detector.cpp:192-258) must match the full-pipeline NumPy oracle
+record for record, and the final top-10 selection must consist of
+oracle-validated candidates. Prints PARITY metrics for the round report."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gpd_tpu.config import DetectorConfig
+from gpd_tpu.detector import GraspDetector, candidates_stage
+from gpd_tpu.ops.frames import estimate_frames
+
+from oracle import oracle_local_frame, oracle_pipeline_candidates
+
+
+S = 100  # fixed sample count (BASELINE.md top-10 protocol)
+
+
+def _fixed_samples(cloud, n=S, seed=0):
+    pts = np.asarray(cloud.points)
+    mask = np.asarray(cloud.mask)
+    idx = np.nonzero(mask)[0]
+    rs = np.random.RandomState(seed)
+    sidx = rs.choice(idx, n, replace=False)
+    return jnp.asarray(pts[sidx]), jnp.ones(n, bool)
+
+
+class TestKrylonGoldenParity:
+    def _setup(self, krylon_points):
+        cfg = DetectorConfig(num_samples=S, search_neighbors_cap=4096,
+                             frame_neighbors_cap=256,
+                             normals_neighbors_cap=64,
+                             min_inliers=0, num_selected=10)
+        det = GraspDetector(cfg)
+        cloud = det.preprocess_cloud(
+            krylon_points, view_points=np.zeros((1, 3), np.float32))
+        spos, smask = _fixed_samples(cloud)
+        return cfg, det, cloud, spos, smask
+
+    def test_candidate_set_matches_oracle(self, krylon_points):
+        cfg, det, cloud, spos, smask = self._setup(krylon_points)
+        pts = np.asarray(cloud.points)
+        nrm = np.asarray(cloud.normals)
+        mask = np.asarray(cloud.mask)
+        rpts = pts[mask].astype(np.float64)
+        rnrm = nrm[mask].astype(np.float64)
+
+        frames, fvalid = estimate_frames(
+            spos, smask, cloud.points, cloud.mask, cloud.normals,
+            radius=cfg.nn_radius_frames, k=cfg.frame_neighbors_cap)
+        frames_np = np.asarray(frames).astype(np.float64)
+        fvalid_np = np.asarray(fvalid)
+        samples_np = np.asarray(spos).astype(np.float64)
+
+        # 1. Frame parity: kernel Darboux frames vs per-sample oracle
+        # eigendecomposition (local_frame.cpp:14-40). The normal column's
+        # sign is pinned by the mean neighbor normal; curvature up to sign.
+        n_frames = n_frame_match = 0
+        for s in range(S):
+            if not fvalid_np[s]:
+                continue
+            d = np.linalg.norm(rpts - samples_np[s], axis=1)
+            nb = rnrm[d <= cfg.nn_radius_frames]
+            if len(nb) < 2:
+                continue
+            ref = oracle_local_frame(nb)
+            n_frames += 1
+            if (np.dot(frames_np[s][:, 0], ref[:, 0]) > 0.99 and
+                    abs(np.dot(frames_np[s][:, 2], ref[:, 2])) > 0.99):
+                n_frame_match += 1
+        assert n_frames >= 80
+        frame_rate = n_frame_match / n_frames
+        print(f"\nPARITY frames: {n_frame_match}/{n_frames} "
+              f"({100 * frame_rate:.1f}%) match oracle eigenframes")
+        assert frame_rate >= 0.9
+
+        # 2. Candidate-set parity at the kernel's frames (isolates the hand
+        # search + filters from eigenvector sign/degeneracy choices).
+        g = candidates_stage(cloud, spos, smask, cfg)
+        ref = oracle_pipeline_candidates(rpts, rnrm, samples_np, frames_np,
+                                         fvalid_np, cfg)
+        M = cfg.num_orientations * len(cfg.hand_axes)
+        assert len(ref) == S * M == g.valid.shape[0]
+
+        g_valid = np.asarray(g.valid)
+        g_pos = np.asarray(g.position)
+        g_width = np.asarray(g.width)
+        g_top = np.asarray(g.top)
+        g_full = np.asarray(g.full_antipodal)
+        g_half = np.asarray(g.half_antipodal)
+
+        n_checked = n_mismatch = n_valid_ref = 0
+        for i, r in enumerate(ref):
+            n_checked += 1
+            if r["valid"] != bool(g_valid[i]):
+                n_mismatch += 1
+                continue
+            if not r["valid"]:
+                continue
+            n_valid_ref += 1
+            if (abs(r["top"] - g_top[i]) > 1e-5 or
+                    abs(r["width"] - g_width[i]) > 1e-4 or
+                    np.abs(r["pos"] - g_pos[i]).max() > 1e-4 or
+                    r["full"] != bool(g_full[i]) or
+                    r["half"] != bool(g_half[i])):
+                n_mismatch += 1
+        match_rate = 1.0 - n_mismatch / n_checked
+        print(f"PARITY candidates: {n_checked - n_mismatch}/{n_checked} "
+              f"({100 * match_rate:.2f}%) match oracle pipeline "
+              f"({n_valid_ref} valid)")
+        # The cloud must actually produce candidates for this to mean much.
+        assert n_valid_ref > 50
+        # f32-vs-f64 threshold flips only: allow a small disagreement rate.
+        assert n_mismatch <= max(3, int(0.03 * n_checked)), \
+            f"{n_mismatch}/{n_checked} pipeline mismatches"
+
+    def test_top10_grasps_are_oracle_valid(self, krylon_points):
+        """Selection parity: every top-10 grasp detect() returns at the
+        fixed sample set must correspond to an oracle-valid candidate with
+        the same pose (BASELINE.md top-10 match-rate protocol; scores come
+        from the shipped classifier so ranking is exercised too)."""
+        cfg, det, cloud, spos, smask = self._setup(krylon_points)
+        pts = np.asarray(cloud.points)
+        nrm = np.asarray(cloud.normals)
+        mask = np.asarray(cloud.mask)
+        rpts = pts[mask].astype(np.float64)
+        rnrm = nrm[mask].astype(np.float64)
+
+        frames, fvalid = estimate_frames(
+            spos, smask, cloud.points, cloud.mask, cloud.normals,
+            radius=cfg.nn_radius_frames, k=cfg.frame_neighbors_cap)
+        ref = oracle_pipeline_candidates(
+            rpts, rnrm, np.asarray(spos).astype(np.float64),
+            np.asarray(frames).astype(np.float64), np.asarray(fvalid), cfg)
+        ref_pos = np.array([r["pos"] for r in ref if r["valid"]])
+        ref_R = np.stack([r["R"] for r in ref if r["valid"]]) \
+            if len(ref_pos) else np.zeros((0, 3, 3))
+
+        out = det.detect(cloud, spos, smask, key=jax.random.PRNGKey(0),
+                         verbose=False)
+        v = np.asarray(out.valid)
+        top_pos = np.asarray(out.position)[v][:10]
+        top_R = np.asarray(out.orientation)[v][:10]
+        assert len(top_pos) > 0
+
+        n_match = 0
+        for p, R in zip(top_pos, top_R):
+            d = np.linalg.norm(ref_pos - p, axis=1)
+            close = np.nonzero(d < 1e-3)[0]
+            ok = any(np.abs(ref_R[j] - R).max() < 1e-3 for j in close)
+            n_match += bool(ok)
+        rate = n_match / len(top_pos)
+        print(f"\nPARITY top-10: {n_match}/{len(top_pos)} "
+              f"({100 * rate:.0f}%) of selected grasps oracle-validated")
+        assert rate >= 0.9

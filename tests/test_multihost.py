@@ -35,7 +35,7 @@ def test_two_process_distributed(tmp_path):
         [sys.executable, worker, str(port), str(i), outs[i]],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)]
-    logs = [p.communicate(timeout=840)[0].decode(errors="replace")
+    logs = [p.communicate(timeout=1500)[0].decode(errors="replace")
             for p in procs]
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-4000:]}"
@@ -59,3 +59,19 @@ def test_two_process_distributed(tmp_path):
     assert sum(res[0]["merged_counts"]) == \
         res[0]["local_valid"] + res[1]["local_valid"]
     assert sum(res[0]["merged_counts"]) > 0
+
+    # CEM over the global mesh: both hosts agree on the (replicated) final
+    # grasp count and the round actually found grasps on the cylinder.
+    assert res[0]["cem_valid"] == res[1]["cem_valid"]
+    assert res[0]["cem_valid"] > 0
+
+    # 2-shard data generation: work split disjointly/completely across the
+    # two writers and the merged dataset covers both shards' rows.
+    dg0 = {tuple(t) for t in res[0]["dgen_items"]}
+    dg1 = {tuple(t) for t in res[1]["dgen_items"]}
+    assert dg0.isdisjoint(dg1)
+    assert len(dg0 | dg1) == 2
+    assert res[0]["dgen_merged_rows"] == res[1]["dgen_merged_rows"]
+    assert res[0]["dgen_merged_rows"] == [res[0]["dgen_rows"],
+                                          res[1]["dgen_rows"]]
+    assert sum(res[0]["dgen_merged_rows"]) > 0
