@@ -1,42 +1,49 @@
 """Benchmark: grasp candidates evaluated + CNN-scored per second per chip.
 
-Workload: krylon.pcd (the reference's tutorial fixture) with the
-eigen_params-style 15-channel config at num_samples=500 — the BASELINE.md
-protocol. One full pipeline iteration = local frames + hand search over
-(500 samples x 8 orientations) + workspace filter + 15-channel descriptor
-rasterization + LeNet scoring, all as one jitted XLA program on device.
+Two workloads per the BASELINE.md protocol:
+  1. krylon.pcd, eigen_params-style 15-channel config, num_samples=500 —
+     the headline candidates/sec/chip number (target >= 50k).
+  2. table_mug.pcd, num_samples=5000, clustering on — the big-scene
+     workload; reports cand/s and p50 cloud->grasps latency.
 
-Prints ONE JSON line:
+One full pipeline iteration = local frames + hand search over
+(samples x 8 orientations) + workspace filter + 15-channel descriptor
+rasterization + LeNet scoring + selection/clustering, all on device.
+
+Prints ONE JSON line; the headline metric is krylon cand/s, with the
+table_mug workload and compile-time tracking nested in the same object:
   {"metric": "candidates_per_sec", "value": N, "unit": "cand/s/chip",
-   "vs_baseline": N / 50000}
+   "vs_baseline": N/50000, "warmup_s": W,
+   "table_mug": {"candidates_per_sec": N2, "p50_latency_s": L,
+                 "num_samples": 5000, "warmup_s": W2}}
 (vs_baseline: BASELINE.json target >= 50k candidates/s/chip; the reference
 publishes no numbers — see BASELINE.md.)
 """
 
 import dataclasses
 import json
-import os
 import sys
 import time
 
 import numpy as np
 
 
-def main():
+def _sync(tree):
+    """Device->host fetch of one element: on remote TPU backends
+    block_until_ready can return early (CLAUDE.md)."""
     import jax
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return np.asarray(leaf.ravel()[:1])
 
-    from gpd_tpu.config import load_config
-    from gpd_tpu.detector import GraspDetector, detect_core, select_and_cluster
-    from gpd_tpu.io.pcd import load_pcd
 
-    cfg = load_config("/root/reference/cfg/eigen_params.cfg")
-    cfg = dataclasses.replace(cfg, num_samples=500, min_inliers=0,
-                              num_selected=100)
-    det = GraspDetector(cfg)
+def bench_workload(det, cloud, cfg, n_iters=10):
+    """Times the fused detect_core + select_and_cluster pipeline at the
+    detector's sample set. Returns (cand_per_sec, p50_latency_s, warmup_s,
+    n_candidates, n_valid)."""
+    import jax
+    import jax.numpy as jnp
 
-    pts = load_pcd("/root/reference/tutorials/krylon.pcd")
-    cloud = det.preprocess_cloud(pts, view_points=np.zeros((1, 3), np.float32))
-    cfg = det.effective_config(cloud)
+    from gpd_tpu.detector import detect_core, select_and_cluster
 
     key = jax.random.PRNGKey(0)
     spos, smask = det.sample_cloud(cloud, key)
@@ -45,52 +52,90 @@ def main():
     def step(k):
         g, _ = detect_core(cloud, spos, smask, det.params, k, cfg, cap,
                            scores_only=True)
-        out = select_and_cluster(g, cfg)
-        return out
-
-    import jax.numpy as jnp_mod
-    jnp_asarray = jnp_mod.asarray
-
-    def sync(g):
-        # On remote TPU backends block_until_ready can return early; a
-        # device->host fetch is the reliable synchronization point.
-        leaf = jax.tree_util.tree_leaves(g)[0]
-        return np.asarray(leaf.ravel()[:1])
+        return select_and_cluster(g, cfg)
 
     # Warmup / compile.
     t0 = time.perf_counter()
     out = step(key)
-    sync(out)
-    print(f"# warmup (incl. compile): {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
+    _sync(out)
+    warmup_s = time.perf_counter() - t0
 
     # Distinct per-iteration keys, materialized on device BEFORE the timed
     # loop: an eager fold_in per iteration costs a dispatch round trip on
     # remote backends and would serialize the pipeline (CLAUDE.md).
-    n_iters = 10
-    keys = [jnp_asarray(k) for k in
-            np.asarray(jax.random.split(key, n_iters))]
-    sync(keys[-1])
+    keys = [jnp.asarray(k) for k in np.asarray(jax.random.split(key, n_iters))]
+    _sync(keys[-1])
 
+    # Throughput: pipelined dispatch, one sync at the end.
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = step(keys[i])
-    sync(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / n_iters
 
-    n_candidates = spos.shape[0] * cfg.num_orientations * len(cfg.hand_axes)
-    cps = n_candidates / dt
+    # Latency: per-iteration sync (what a robot-serving caller sees).
+    lats = []
+    for i in range(n_iters):
+        t0 = time.perf_counter()
+        out = step(keys[i])
+        _sync(out)
+        lats.append(time.perf_counter() - t0)
+    p50 = float(np.median(lats))
 
+    n_candidates = spos.shape[0] * cfg.num_orientations * len(cfg.hand_axes)
     n_valid = int(np.asarray(out.valid).sum())
-    print(f"# cloud points: {int(np.asarray(cloud.mask).sum())}, "
-          f"candidates/iter: {n_candidates}, valid grasps: {n_valid}, "
-          f"time/iter: {dt*1000:.2f} ms", file=sys.stderr)
+    return n_candidates / dt, p50, warmup_s, n_candidates, n_valid
+
+
+def main():
+    from gpd_tpu.config import load_config
+    from gpd_tpu.detector import GraspDetector
+    from gpd_tpu.io.pcd import load_pcd
+
+    # Workload 1: krylon @ 500 samples (headline).
+    cfg = load_config("/root/reference/cfg/eigen_params.cfg")
+    cfg = dataclasses.replace(cfg, num_samples=500, min_inliers=0,
+                              num_selected=100)
+    det = GraspDetector(cfg)
+    pts = load_pcd("/root/reference/tutorials/krylon.pcd")
+    cloud = det.preprocess_cloud(pts, view_points=np.zeros((1, 3), np.float32))
+    kcfg = det.effective_config(cloud)
+    det.cfg = kcfg
+    cps, p50_k, warm_k, n_cand, n_valid = bench_workload(det, cloud, kcfg)
+    print(f"# krylon: cloud points {int(np.asarray(cloud.mask).sum())}, "
+          f"candidates/iter {n_cand}, valid grasps {n_valid}, "
+          f"p50 {p50_k*1000:.2f} ms, warmup {warm_k:.1f}s", file=sys.stderr)
+
+    # Workload 2: table_mug @ 5000 samples, clustering on (BASELINE.md:28-35).
+    cfg2 = load_config("/root/reference/cfg/eigen_params.cfg")
+    cfg2 = dataclasses.replace(cfg2, num_samples=5000, min_inliers=1,
+                               num_selected=100, sample_above_plane=True)
+    det2 = GraspDetector(cfg2, params=det.params)
+    pts2 = load_pcd("/root/reference/tutorials/table_mug.pcd")
+    cloud2 = det2.preprocess_cloud(pts2,
+                                   view_points=np.zeros((1, 3), np.float32))
+    mcfg = det2.effective_config(cloud2)
+    det2.cfg = mcfg
+    cps2, p50_m, warm_m, n_cand2, n_valid2 = bench_workload(det2, cloud2,
+                                                            mcfg, n_iters=5)
+    print(f"# table_mug: cloud points {int(np.asarray(cloud2.mask).sum())}, "
+          f"candidates/iter {n_cand2}, valid grasps {n_valid2}, "
+          f"p50 {p50_m*1000:.2f} ms, warmup {warm_m:.1f}s", file=sys.stderr)
 
     print(json.dumps({
         "metric": "candidates_per_sec",
         "value": round(cps, 1),
         "unit": "cand/s/chip",
         "vs_baseline": round(cps / 50000.0, 3),
+        "warmup_s": round(warm_k, 1),
+        "p50_latency_s": round(p50_k, 4),
+        "table_mug": {
+            "candidates_per_sec": round(cps2, 1),
+            "p50_latency_s": round(p50_m, 4),
+            "num_samples": 5000,
+            "valid_grasps": n_valid2,
+            "warmup_s": round(warm_m, 1),
+        },
     }))
 
 

@@ -1,8 +1,10 @@
-"""Per-stage TPU timing of the detection pipeline on the bench workload.
+"""Per-stage TPU timing + FLOP/MFU accounting of the detection pipeline on
+the bench workload.
 
 Times each jitted stage separately (frames, hand search, shadow, raster,
-LeNet) with device->host sync between repetitions, to locate the bottleneck
-behind bench.py's single number. Run on the real chip:
+LeNet) with device->host sync between repetitions, attaches an analytic
+FLOP estimate to the matmul-dominated stages, and reports per-stage and
+end-to-end MFU against the chip's peak. Run on the real chip:
 
     python tools/profile_stages.py [num_samples]
 """
@@ -12,6 +14,25 @@ import sys
 import time
 
 import numpy as np
+
+# bf16 MXU peak FLOP/s by device kind (dense); fallback v5e.
+_PEAK = {
+    "TPU v4": 275e12,
+    "TPU v5e": 197e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6e": 918e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def device_peak_flops():
+    import jax
+    kind = jax.devices()[0].device_kind
+    for k, v in _PEAK.items():
+        if k.lower() in kind.lower():
+            return v, kind
+    return 197e12, kind
 
 
 def sync(x):
@@ -28,6 +49,50 @@ def timeit(fn, n=5):
         out = fn()
     sync(out)
     return (time.perf_counter() - t0) / n, out
+
+
+def lenet_flops(G, C, size=60):
+    """Analytic forward FLOPs for the LeNet tower (conv as 2*MACs)."""
+    s1 = size - 4                       # conv1 out 56
+    s2 = s1 // 2                        # pool 28
+    s3 = s2 - 4                         # conv2 out 24
+    s4 = s3 // 2                        # pool 12
+    conv1 = 2 * s1 * s1 * 20 * C * 25
+    conv2 = 2 * s3 * s3 * 50 * 20 * 25
+    fc1 = 2 * (50 * s4 * s4) * 500
+    fc2 = 2 * 500 * 2
+    return G * (conv1 + conv2 + fc1 + fc2)
+
+
+def raster_flops(G, K, Ks, num_channels, size=60):
+    """MXU FLOPs of the factorized-onehot raster contraction
+    (ops/images.py _raster_sums_pallas): per hand and projection one
+    (R, Kp) x (size*Cp, Kp) dot; R = size+1 rounded to 8, Kp = K rounded
+    to 128. Value channels: [|n| x3, depth, count] -> Cp=5 for 12/15ch;
+    shadow adds a Cp=2 pass over Ks shadow points."""
+    R = -(-(size + 1) // 8) * 8
+    Kp = -(-K // 128) * 128
+    Ksp = -(-Ks // 128) * 128 if Ks else 0
+    n_proj = 3 if num_channels in (12, 15) else 1
+    Cp = 5 if num_channels in (12, 15) else (4 if num_channels == 3 else 2)
+    per_proj = 2 * R * (size * Cp) * Kp
+    total = n_proj * per_proj
+    if num_channels == 15:
+        total += n_proj * 2 * R * (size * 2) * Ksp
+    return G * total
+
+
+def search_flops(S, M, K):
+    """Hand-search transform FLOPs: per (sample, orientation) rotate K
+    points + K normals into the hand frame (2 x 2*9*K), the only
+    matmul-shaped work; interval/antipodal tests are VPU elementwise."""
+    return S * M * 2 * 2 * 9 * K
+
+
+def frames_flops(S, K):
+    """M = N N^T outer-product accumulation per sample (2*9*K) — eigh is
+    closed-form scalar work."""
+    return S * 2 * 9 * K
 
 
 def main():
@@ -58,16 +123,30 @@ def main():
           f"search_k={cfg.search_neighbors_cap} image_k={cfg.image_neighbors_cap}",
           file=sys.stderr)
 
+    peak, kind = device_peak_flops()
+    print(f"device: {kind}, peak {peak/1e12:.0f} TFLOP/s (bf16 dense)",
+          file=sys.stderr)
+
+    def report(name, t, flops=None):
+        line = f"{name:14s} {t*1e3:9.2f} ms"
+        if flops:
+            line += (f"  {flops/1e9:8.2f} GFLOP  "
+                     f"MFU {100.0 * flops / t / peak:5.2f}%")
+        print(line)
+
     # Stage 1: frames.
     t_frames, (frames, fvalid) = timeit(lambda: estimate_frames(
         spos, smask, cloud.points, cloud.mask, cloud.normals,
         radius=cfg.nn_radius_frames, k=cfg.frame_neighbors_cap))
-    print(f"frames:        {t_frames*1e3:9.2f} ms")
+    report("frames:", t_frames,
+           frames_flops(ns, cfg.frame_neighbors_cap))
 
     # Stage 2: hand search.
+    M = cfg.num_orientations * len(cfg.hand_axes)
+    K_search = min(cfg.search_neighbors_cap, cloud.points.shape[0])
     t_search, grasps = timeit(lambda: cand.search_hands_with_frames(
         cloud, spos, frames, fvalid, cfg))
-    print(f"hand search:   {t_search*1e3:9.2f} ms")
+    report("hand search:", t_search, search_flops(ns, M, K_search))
 
     # Stage 3: image neighborhoods.
     k_img = min(cfg.image_neighbors_cap, cloud.points.shape[0])
@@ -111,26 +190,35 @@ def main():
     h_nrm = cloud.normals[h_idx]
     ig = cfg.image_geometry
 
+    K_img = h_pts.shape[1]
+    Ks = shadow_pts.shape[1]
+    fl_raster = raster_flops(cap, K_img, Ks, ig.num_channels, ig.size)
     t_img, images = timeit(lambda: img.make_images(
         h_pts, h_nrm, h_nvalid, g.orientation, g.sample, g.bottom,
         g.center, g.valid, ig, shadow_pts=shadow_pts[sid],
         shadow_valid=shadow_valid[sid]))
-    print(f"raster ({cap}): {t_img*1e3:8.2f} ms")
+    report(f"raster ({cap}):", t_img, fl_raster)
 
     # Stage 6: LeNet.
+    fl_net = lenet_flops(cap, ig.num_channels, ig.size)
     t_net, _ = timeit(lambda: lenet.score(det.params, images))
-    print(f"lenet ({cap}):  {t_net*1e3:8.2f} ms")
+    report(f"lenet ({cap}):", t_net, fl_net)
 
-    # Full fused pipelines for comparison.
+    # Full fused pipelines for comparison. FLOPs scale per live chunk.
+    n_cand = ns * cfg.num_orientations * len(cfg.hand_axes)
+    n_chunks_live = max(1, -(-n_valid_cand // cap))
+    fl_core = (frames_flops(ns, cfg.frame_neighbors_cap) +
+               search_flops(ns, M, K_search) +
+               n_chunks_live * (fl_raster + fl_net))
     t_core, (gout, _) = timeit(lambda: detect_core(
         cloud, spos, smask, det.params, key, cfg, cap, scores_only=True))
-    print(f"detect_core:   {t_core*1e3:9.2f} ms")
+    report("detect_core:", t_core, fl_core)
     t_sel, _ = timeit(lambda: select_and_cluster(gout, cfg))
-    print(f"select:        {t_sel*1e3:9.2f} ms")
+    report("select:", t_sel)
 
-    n_cand = ns * cfg.num_orientations * len(cfg.hand_axes)
     print(f"TOTAL core+sel: {(t_core+t_sel)*1e3:.2f} ms "
-          f"-> {n_cand/(t_core+t_sel):.0f} cand/s")
+          f"-> {n_cand/(t_core+t_sel):.0f} cand/s, "
+          f"end-to-end MFU {100.0 * fl_core / (t_core + t_sel) / peak:.2f}%")
 
 
 if __name__ == "__main__":
