@@ -176,6 +176,87 @@ def plot_hands_3d(points: np.ndarray, grasps: Sequence[dict],
     return fig
 
 
+def volume_box(position: np.ndarray, R: np.ndarray, volume_depth: float,
+               volume_width: float, volume_height: float) -> np.ndarray:
+    """Corner vertices (8, 3) of a hand's image-volume cube: a
+    volume_depth x volume_width x volume_height box centered at
+    position + 0.5*volume_depth*approach, oriented by the hand frame
+    (plotVolumes3D / plotCube, plot.cpp:97-173)."""
+    position = np.asarray(position, np.float64)
+    R = np.asarray(R, np.float64)
+    center = position + 0.5 * volume_depth * R[:, 0]
+    corners = np.array([[sx, sy, sz] for sx in (-0.5, 0.5)
+                        for sy in (-0.5, 0.5) for sz in (-0.5, 0.5)])
+    dims = np.array([volume_depth, volume_width, volume_height])
+    return center + (corners * dims) @ R.T
+
+
+def plot_volumes_3d(points: np.ndarray, grasps: Sequence[dict],
+                    path: Optional[str] = None, max_grasps: int = 20,
+                    hand_geometry=None, image_geometry=None):
+    """Hands plus their associated image volumes (plotVolumes3D,
+    plot.cpp:97-173): each valid hand as teal cuboids with a translucent
+    green volume cube around its closing region, over the cloud."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    fig = plot_hands_3d(points, grasps, path=None, max_grasps=max_grasps,
+                        hand_geometry=hand_geometry, color_by="fixed")
+    ax = fig.axes[0]
+    vd, vw, vh = 0.06, 0.10, 0.02
+    if image_geometry is not None:
+        vd = image_geometry.depth
+        vw = image_geometry.outer_diameter
+        vh = 2.0 * image_geometry.height
+    for g in list(grasps)[:max_grasps]:
+        box = volume_box(np.asarray(g["position"]),
+                         np.asarray(g["orientation"]), vd, vw, vh)
+        faces = [[box[i] for i in face] for face in _BOX_FACES]
+        ax.add_collection3d(Poly3DCollection(
+            faces, facecolors=[(0.0, 0.8, 0.0)], alpha=0.10,
+            edgecolors=[(0.0, 0.8, 0.0)]))
+    if path:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
+def plot_hand_geometry(grasp: dict, points: np.ndarray,
+                       hand_geometry=None, image_geometry=None,
+                       path: Optional[str] = None):
+    """Single-hand geometry debug view (plotHandGeometry, plot.cpp:9-62):
+    the hand's cuboids + image-volume cube with the configured dimensions
+    annotated (hand depth/outer_diameter/height, finger width, volume
+    extents) — headless matplotlib instead of the reference's VTK window."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    od, dp, fw, hh = 0.12, 0.06, 0.01, 0.02
+    if hand_geometry is not None:
+        od, dp, fw, hh = (hand_geometry.outer_diameter, hand_geometry.depth,
+                          hand_geometry.finger_width, hand_geometry.height)
+    vd, vw, vh = 0.06, 0.10, 0.02
+    if image_geometry is not None:
+        vd = image_geometry.depth
+        vw = image_geometry.outer_diameter
+        vh = 2.0 * image_geometry.height
+    fig = plot_volumes_3d(points, [grasp], path=None, max_grasps=1,
+                          hand_geometry=hand_geometry,
+                          image_geometry=image_geometry)
+    ax = fig.axes[0]
+    ax.set_title(
+        f"hand_depth={dp}  hand_outer_diameter={od}  hand_height*2={2 * hh}\n"
+        f"finger_width={fw}  volume_depth={vd}  volume_width={vw}  "
+        f"volume_height*2={vh}", fontsize=9)
+    if path:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
 def plot_normals(points: np.ndarray, normals: np.ndarray,
                  path: Optional[str] = None, stride: int = 20):
     """Quiver render of surface normals (plotNormals, plot.cpp:498-668)."""

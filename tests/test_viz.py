@@ -3,7 +3,8 @@ headless rendering."""
 
 import numpy as np
 
-from gpd_tpu.viz import hand_segments, hand_volume_boxes, plot_hands_3d
+from gpd_tpu.viz import (hand_segments, hand_volume_boxes, plot_hands_3d,
+                         plot_hand_geometry, plot_volumes_3d, volume_box)
 
 
 class TestHandVolumes:
@@ -48,3 +49,23 @@ class TestHandVolumes:
     def test_segments_shape(self):
         s = hand_segments(np.zeros(3), np.eye(3))
         assert s.shape == (4, 2, 3)
+
+    def test_volume_box_extents(self):
+        """Image-volume cube (plotVolumes3D, plot.cpp:117-126): centered
+        0.5*volume_depth along approach, reference extents."""
+        b = volume_box(np.zeros(3), np.eye(3), 0.06, 0.10, 0.04)
+        assert b.shape == (8, 3)
+        np.testing.assert_allclose(b[:, 0].mean(), 0.03, atol=1e-12)
+        assert abs((b[:, 0].max() - b[:, 0].min()) - 0.06) < 1e-12
+        assert abs((b[:, 1].max() - b[:, 1].min()) - 0.10) < 1e-12
+        assert abs((b[:, 2].max() - b[:, 2].min()) - 0.04) < 1e-12
+
+    def test_volume_and_geometry_views_render(self, rng, tmp_path):
+        pts = rng.normal(scale=0.03, size=(300, 3))
+        gs = [dict(position=np.zeros(3), orientation=np.eye(3), score=1.0)]
+        out1 = tmp_path / "volumes.png"
+        plot_volumes_3d(pts, gs, path=str(out1))
+        assert out1.stat().st_size > 10000
+        out2 = tmp_path / "handgeom.png"
+        plot_hand_geometry(gs[0], pts, path=str(out2))
+        assert out2.stat().st_size > 10000
