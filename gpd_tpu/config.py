@@ -213,11 +213,13 @@ class DetectorConfig:
                                       # search ball; nearest-K covers it)
     normals_neighbors_cap: int = 128  # K for normal estimation
     shadow_voxel_cap: int = 2048     # max unique shadow voxels per sample
-    shadow_source_cap: int = 512     # max neighborhood points casting shadows
-                                     # (occupancy saturates fast — 512 sources
+    shadow_source_cap: int = 496     # max neighborhood points casting shadows
+                                     # (occupancy saturates fast — ~500 sources
                                      # x ~33 ray points >> the 2048-voxel cap —
                                      # and the dedup sort cost is linear in
-                                     # sources; see ops/images.py)
+                                     # sources; 496*33 = 16368 keeps the sort
+                                     # width under 16384, which measures ~30%
+                                     # cheaper than 16896 on the TPU)
 
     @property
     def hand_search_radius(self) -> float:

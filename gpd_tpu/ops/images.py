@@ -34,6 +34,17 @@ from gpd_tpu.config import ImageGeometry
 SHADOW_VOXEL = 0.003
 _POS = jnp.float32(1e9)
 
+# Invertible multiplicative mix on the 30-bit packed voxel keys: C is odd so
+# key -> key*C mod 2^30 is a bijection (dedup via sort stays exact), and the
+# image is pseudo-uniform over [0, 2^30) — so "smallest v_cap hashed keys"
+# selects a spatially SPREAD subset of the occupied voxels. The unhashed
+# smallest-key selection kept the lexicographically-lowest slab of the shadow
+# region (on the bench workload every sample has 6-9k unique voxels vs the
+# 2048 cap, so the cap always binds and the slab bias was the whole story).
+_KEY_HASH = 0x1E3779B1            # golden-ratio constant mod 2^30 (odd)
+_KEY_UNHASH = pow(_KEY_HASH, -1, 1 << 30)
+_KEY_MASK = (1 << 30) - 1
+
 
 def _use_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
@@ -185,6 +196,11 @@ def compute_shadows(key, nn_pts, nn_valid, nn_cam, view_points,
         vox = jnp.trunc(q * inv_vox).astype(jnp.int32)               # C++ cast<int>
         rel = vox - base[:, None, None, :]
         key_ = (rel[..., 0] << 20) | (rel[..., 1] << 10) | rel[..., 2]
+        # Sort/select in hashed key space (see _KEY_HASH note above). The
+        # multiply wraps mod 2^32 in uint32; masking to 30 bits keeps the
+        # map bijective on the 30-bit key domain.
+        key_ = ((key_.astype(jnp.uint32) * jnp.uint32(_KEY_HASH))
+                & jnp.uint32(_KEY_MASK)).astype(jnp.int32)
         key_ = jnp.where(nn_valid[:, :, None], key_, jnp.int32(2 ** 30))
         return key_.reshape(S, K * n_sp)
 
@@ -203,15 +219,20 @@ def compute_shadows(key, nn_pts, nn_valid, nn_cam, view_points,
         member = jnp.take_along_axis(oc, pos, axis=1) == cam0
         valid = valid & jnp.where(cam_seen[:, c:c + 1], member, True)
 
-    # Compact unique voxels to the front, cap at v_cap. The voxel keys are
-    # their own sort keys (unique among valid entries), so a top_k of the
-    # v_cap smallest keys IS the compaction — much cheaper than a second
-    # full argsort over K*n_sp.
+    # Compact unique voxels to the front, cap at v_cap. The hashed keys are
+    # unique among valid entries, so a top_k of the v_cap smallest IS the
+    # compaction — much cheaper than a second full argsort over K*n_sp —
+    # and because the hash is pseudo-uniform, the kept subset is a spatially
+    # spread sample of the occupied region rather than a low-key slab.
     v_cap = min(v_cap, K * n_sp)
     skey = jnp.where(valid, cam0, jnp.int32(2 ** 30))
     neg, _ = jax.lax.top_k(-skey, v_cap)
-    cam0c = -neg
-    validc = cam0c < 2 ** 30
+    hashed = -neg
+    validc = hashed < 2 ** 30
+    # Invert the hash (C * C^-1 = 1 mod 2^30) to recover packed rel coords.
+    cam0c = ((hashed.astype(jnp.uint32) * jnp.uint32(_KEY_UNHASH))
+             & jnp.uint32(_KEY_MASK)).astype(jnp.int32)
+    cam0c = jnp.where(validc, cam0c, jnp.int32(2 ** 30))
 
     vx = ((cam0c >> 20) & 0x3FF) + base[:, None, 0]
     vy = ((cam0c >> 10) & 0x3FF) + base[:, None, 1]

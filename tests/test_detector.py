@@ -321,6 +321,58 @@ class TestStagedDetect:
                                    np.sort(np.asarray(b.score)[vb]),
                                    atol=1e-5)
 
+    def test_image_neighbors_cap_truncation_dense_scene(self, rng):
+        """image_neighbors_cap (nearest-K descriptor neighborhoods) on a
+        dense 15-channel scene must reproduce the uncapped images: the image
+        volume (0.10 x 0.06 x 0.04 box) is far smaller than the 0.10-radius
+        neighborhood ball, so the nearest K points cover it and truncation
+        only drops points the rasterizer would mask out anyway. Validates
+        the documented truncation at 15ch on a cloud well above the cap
+        (the effective_config override does not fire at n > 1.5*cap)."""
+        # Dense tabletop: 0.25 m plane grid + standing cylinder, 3725 pts.
+        gx, gy = np.meshgrid(np.linspace(-0.125, 0.125, 50),
+                             np.linspace(-0.125, 0.125, 50))
+        plane = np.stack([gx.ravel(), gy.ravel(),
+                          np.zeros(2500)], 1).astype(np.float32)
+        plane_n = np.tile(np.array([0, 0, 1], np.float32), (2500, 1))
+        theta = rng.uniform(0, 2 * np.pi, 1225)
+        h = rng.uniform(0.005, 0.12, 1225)
+        cyl = np.stack([0.03 * np.cos(theta), 0.03 * np.sin(theta),
+                        h], 1).astype(np.float32)
+        cyl_n = np.stack([np.cos(theta), np.sin(theta),
+                          np.zeros(1225)], 1).astype(np.float32)
+        pts = np.concatenate([plane, cyl]).astype(np.float32)
+        nrm = np.concatenate([plane_n, cyl_n]).astype(np.float32)
+        cloud = CloudArrays.from_numpy(pts, normals=nrm)
+        n = cloud.capacity
+        cap = 2048
+        assert n > 1.5 * cap, "scene must exceed the override threshold"
+
+        spos = jnp.asarray(cyl[:24])
+        smask = jnp.ones(24, bool)
+        key = jax.random.PRNGKey(5)
+        base = small_cfg(num_samples=24, search_neighbors_cap=1024)
+        det = GraspDetector(base)
+        cfg_trunc = dataclasses.replace(base, image_neighbors_cap=cap)
+        cfg_full = dataclasses.replace(base, image_neighbors_cap=1 << 20)
+        ga, _ = detect_core(cloud, spos, smask, det.params, key, cfg_trunc,
+                            256, scores_only=True)
+        gb, _ = detect_core(cloud, spos, smask, det.params, key, cfg_full,
+                            256, scores_only=True)
+        va, vb = np.asarray(ga.valid), np.asarray(gb.valid)
+        np.testing.assert_array_equal(va, vb)
+        assert va.sum() > 20
+        sa, sb = np.asarray(ga.score)[va], np.asarray(gb.score)[vb]
+        d = np.abs(sa - sb)
+        spread = max(sa.max() - sa.min(), 1e-3)
+        # Nearest-K truncation must be score-neutral up to shadow-source
+        # sampling noise between the identity and gather paths.
+        assert np.median(d) < 0.02 * spread, (np.median(d), spread)
+        assert d.max() < 0.2 * spread, (d.max(), spread)
+        top_a = set(np.argsort(-sa)[:10])
+        top_b = set(np.argsort(-sb)[:10])
+        assert len(top_a & top_b) >= 8, (top_a, top_b)
+
     def test_staged_chunks_cover_all_candidates(self, rng):
         """Staged path with more valid candidates than one image chunk: the
         chunk loop must score every valid hand (regression for the former
