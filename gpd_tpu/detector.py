@@ -118,21 +118,23 @@ def candidates_stage(cloud: CloudArrays, sample_pos: jax.Array,
     return grasps
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def image_inputs_stage(cloud: CloudArrays, sample_pos: jax.Array,
-                       sample_mask: jax.Array, key: jax.Array,
-                       cfg: DetectorConfig):
-    """Shared per-sample descriptor inputs (image_generator.cpp:17-70):
-    optional plane removal, image-radius neighborhoods, shadow point sets.
-
-    Returns (nn_idx | None if identity neighborhoods, nn_valid, shadow_pts,
-    shadow_valid)."""
+def _image_point_mask(cloud: CloudArrays, key: jax.Array,
+                      cfg: DetectorConfig) -> jax.Array:
+    """Cloud-level point mask for descriptor extraction: optional RANSAC
+    plane removal (image_generator.cpp:101-129). Shared by every sample."""
     img_mask = cloud.mask
     if cfg.remove_plane_before_image_calculation:
         inl, _ = pp.fit_plane_ransac(cloud.points, cloud.mask,
                                      jax.random.fold_in(key, 1))
         img_mask = cloud.mask & ~inl
+    return img_mask
 
+
+def _per_sample_inputs(cloud: CloudArrays, img_mask: jax.Array,
+                       sample_pos: jax.Array, sample_mask: jax.Array,
+                       key: jax.Array, cfg: DetectorConfig):
+    """Per-sample descriptor inputs for one block of samples: image-radius
+    neighborhoods + shadow point sets (image_generator.cpp:17-70)."""
     # Per-sample image-radius neighborhoods, shared by the sample's hands
     # (image_generator.cpp:42-64). When the cap covers the cloud, use
     # identity neighborhoods (whole cloud + in-radius mask): per-chunk
@@ -189,12 +191,137 @@ def image_inputs_stage(cloud: CloudArrays, sample_pos: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def image_inputs_stage(cloud: CloudArrays, sample_pos: jax.Array,
+                       sample_mask: jax.Array, key: jax.Array,
+                       cfg: DetectorConfig):
+    """Shared per-sample descriptor inputs (image_generator.cpp:17-70):
+    optional plane removal, image-radius neighborhoods, shadow point sets.
+
+    Returns (nn_idx | None if identity neighborhoods, nn_valid, shadow_pts,
+    shadow_valid)."""
+    img_mask = _image_point_mask(cloud, key, cfg)
+    return _per_sample_inputs(cloud, img_mask, sample_pos, sample_mask, key,
+                              cfg)
+
+
+# Sample-block size for the active-sample-compacted descriptor-input path:
+# big scenes (e.g. table_mug at 5000 samples) typically have valid hands at
+# only a fraction of the samples, and the per-sample shadow dedup sort +
+# neighborhood top_k are the dominant imaging costs — so samples are
+# reordered active-first and whole inactive blocks are skipped by lax.cond.
+_SAMPLE_BLOCK = 512
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "block"))
+def _image_inputs_blocked(cloud: CloudArrays, sample_pos: jax.Array,
+                          sample_mask: jax.Array, n_active: jax.Array,
+                          key: jax.Array, cfg: DetectorConfig, block: int):
+    """_per_sample_inputs over sample blocks, skipping blocks past the
+    active count (callers order samples active-first). Returns the same
+    tuple as image_inputs_stage."""
+    img_mask = _image_point_mask(cloud, key, cfg)
+    S = sample_pos.shape[0]
+    nblk = -(-S // block)
+    pad = nblk * block - S
+    spos = jnp.pad(sample_pos, ((0, pad), (0, 0)), constant_values=1e6)
+    smask = jnp.pad(sample_mask, (0, pad))
+    identity_nn = min(cfg.image_neighbors_cap,
+                      cloud.points.shape[0]) >= cloud.points.shape[0]
+    with_shadows = cfg.image_geometry.num_channels == 15
+
+    def live(args):
+        b, sp, sm = args
+        out = _per_sample_inputs(cloud, img_mask, sp, sm,
+                                 jax.random.fold_in(key, 100 + b), cfg)
+        nn_idx, nn_valid, spts, svalid = out
+        res = (nn_valid,) if identity_nn else (nn_idx, nn_valid)
+        if with_shadows:
+            res = res + (spts, svalid)
+        return res
+
+    def dead(args):
+        b, sp, sm = args
+        k_img = min(cfg.image_neighbors_cap, cloud.points.shape[0])
+        nn_valid = jnp.zeros(
+            (block, cloud.points.shape[0] if identity_nn else k_img), bool)
+        res = ((nn_valid,) if identity_nn
+               else (jnp.zeros((block, k_img), jnp.int32), nn_valid))
+        if with_shadows:
+            v_cap = min(cfg.shadow_voxel_cap,
+                        min(cfg.shadow_source_cap, k_img)
+                        * img.num_shadow_points(cfg.image_geometry))
+            res = res + (jnp.zeros((block, v_cap, 3), jnp.float32),
+                         jnp.zeros((block, v_cap), bool))
+        return res
+
+    def blk_fn(args):
+        b = args[0]
+        return jax.lax.cond(b * block < n_active, live, dead, args)
+
+    out = jax.lax.map(blk_fn, (jnp.arange(nblk),
+                               spos.reshape(nblk, block, 3),
+                               smask.reshape(nblk, block)))
+    out = [a.reshape((nblk * block,) + a.shape[2:])[:S] for a in out]
+    i = 0
+    if identity_nn:
+        nn_idx, nn_valid = None, out[0]
+        i = 1
+    else:
+        nn_idx, nn_valid = out[0], out[1]
+        i = 2
+    if with_shadows:
+        shadow_pts, shadow_valid = out[i], out[i + 1]
+    else:
+        shadow_pts = shadow_valid = None
+    return nn_idx, nn_valid, shadow_pts, shadow_valid
+
+
+def _sample_activity(grasps: Grasps, num_samples: int) -> jax.Array:
+    """(S,) bool: sample has >= 1 valid candidate. Candidates from the hand
+    search are sample-major (S * M slots); fall back to a segment reduce for
+    any other layout."""
+    cap = grasps.capacity
+    if cap % num_samples == 0:
+        m = cap // num_samples
+        return jnp.any(grasps.valid.reshape(num_samples, m), axis=1)
+    seg = jax.ops.segment_max(grasps.valid.astype(jnp.int32),
+                              grasps.sample_id, num_segments=num_samples)
+    return seg > 0
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _descriptor_inputs(cloud: CloudArrays, grasps: Grasps,
+                       sample_pos: jax.Array, sample_mask: jax.Array,
+                       key: jax.Array, cfg: DetectorConfig):
+    """Descriptor inputs with active-sample compaction for big sample sets.
+
+    Returns (nn_idx, nn_valid, shadow_pts, shadow_valid, sid_map) where
+    sid_map (or None) remaps grasp sample ids into the reordered sample
+    axis of the returned per-sample tensors."""
+    S = sample_pos.shape[0]
+    if S <= _SAMPLE_BLOCK:
+        out = image_inputs_stage(cloud, sample_pos, sample_mask, key, cfg)
+        return out + (None,)
+    active = _sample_activity(grasps, S) & sample_mask
+    sorder = jnp.argsort(~active, stable=True)
+    sid_map = jnp.argsort(sorder)          # old sample id -> new row
+    spos2 = sample_pos[sorder]
+    smask2 = sample_mask[sorder] & active[sorder]
+    nn_idx, nn_valid, spts, svalid = _image_inputs_blocked(
+        cloud, spos2, smask2, jnp.sum(active), key, cfg, _SAMPLE_BLOCK)
+    return nn_idx, nn_valid, spts, svalid, sid_map
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _images_for(cloud: CloudArrays, g: Grasps, nn_idx, nn_valid,
-                shadow_pts, shadow_valid, cfg: DetectorConfig) -> jax.Array:
+                shadow_pts, shadow_valid, cfg: DetectorConfig,
+                sid_map=None) -> jax.Array:
     """Rasterize grasp images for an (already compacted) batch of hands
-    (createImageList, image_generator.cpp:72-99)."""
+    (createImageList, image_generator.cpp:72-99). ``sid_map`` remaps grasp
+    sample ids into a reordered per-sample tensor axis (active-sample
+    compaction path)."""
     identity_nn = nn_idx is None
-    sid = g.sample_id
+    sid = g.sample_id if sid_map is None else sid_map[g.sample_id]
     h_nvalid = nn_valid[sid] & g.valid[:, None]
     if identity_nn:
         n = sid.shape[0]
@@ -261,9 +388,10 @@ def score_candidates(cloud: CloudArrays, grasps: Grasps,
     memory stays capped. ``sample_pos``/``key`` must be the ones the
     candidates were generated from (neighborhoods and shadows are
     per-sample). Returns (scored Grasps in valid-first order, images)."""
-    # 3. Descriptor inputs (plane removal, neighborhoods, shadows).
-    nn_idx, nn_valid, shadow_pts, shadow_valid = image_inputs_stage(
-        cloud, sample_pos, sample_mask, key, cfg)
+    # 3. Descriptor inputs (plane removal, neighborhoods, shadows), with
+    # active-sample compaction for big sample sets.
+    nn_idx, nn_valid, shadow_pts, shadow_valid, sid_map = _descriptor_inputs(
+        cloud, grasps, sample_pos, sample_mask, key, cfg)
 
     total = grasps.capacity
     n_chunks = max(1, -(-total // image_cap))
@@ -273,7 +401,7 @@ def score_candidates(cloud: CloudArrays, grasps: Grasps,
 
     def run_chunk(gc: Grasps):
         images = _images_for(cloud, gc, nn_idx, nn_valid, shadow_pts,
-                             shadow_valid, cfg)
+                             shadow_valid, cfg, sid_map)
         scores = lenet.score(params, images)
         if scores_only:
             return (scores,)
@@ -552,14 +680,14 @@ class GraspDetector:
         t_cand = time.time() - t
 
         t = time.time()
-        nn_idx, nn_valid, spts, svalid = _sync(image_inputs_stage(
-            cloud, sample_pos, sample_mask, key, cfg))
+        nn_idx, nn_valid, spts, svalid, sid_map = _sync(_descriptor_inputs(
+            cloud, grasps, sample_pos, sample_mask, key, cfg))
         live_chunks = max(1, -(-n_valid // cap)) if n_valid else 1
         chunk_images = []
         for ci in range(live_chunks):
             gc = _slice_grasps(g_all, ci * cap, cap)
             chunk_images.append(_sync(_images_for(
-                cloud, gc, nn_idx, nn_valid, spts, svalid, cfg)))
+                cloud, gc, nn_idx, nn_valid, spts, svalid, cfg, sid_map)))
         t_img = time.time() - t
 
         t = time.time()

@@ -27,7 +27,11 @@ def sync(x):
     return np.asarray(leaf.ravel()[:1])
 
 
-def timeit(fn, n=20):
+N_ITERS = 20
+
+
+def timeit(fn, n=None):
+    n = n or N_ITERS
     out = fn()
     sync(out)
     t0 = time.perf_counter()
@@ -48,6 +52,8 @@ def patched(obj, name, repl):
 
 
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
 
@@ -58,11 +64,21 @@ def main():
     from gpd_tpu.net import lenet
     from gpd_tpu.ops import images as img_mod
 
+    global N_ITERS
+    mug = "--mug" in sys.argv
+    if mug:
+        N_ITERS = 5
     cfg0 = load_config("/root/reference/cfg/eigen_params.cfg")
-    cfg0 = dataclasses.replace(cfg0, num_samples=500, min_inliers=0,
-                               num_selected=100)
+    if mug:
+        cfg0 = dataclasses.replace(cfg0, num_samples=5000, min_inliers=1,
+                                   num_selected=100, sample_above_plane=True)
+        pcd = "/root/reference/tutorials/table_mug.pcd"
+    else:
+        cfg0 = dataclasses.replace(cfg0, num_samples=500, min_inliers=0,
+                                   num_selected=100)
+        pcd = "/root/reference/tutorials/krylon.pcd"
     det = GraspDetector(cfg0)
-    pts = load_pcd("/root/reference/tutorials/krylon.pcd")
+    pts = load_pcd(pcd)
     cloud = det.preprocess_cloud(pts, view_points=np.zeros((1, 3), np.float32))
     cfg = det.effective_config(cloud)
     key = jax.random.PRNGKey(0)
@@ -155,7 +171,8 @@ def main():
             # retrace of every program that closes over them
             for f in (detect_core, det_mod.candidates_stage,
                       det_mod.score_candidates, det_mod.image_inputs_stage,
-                      det_mod._images_for):
+                      det_mod._images_for, det_mod._descriptor_inputs,
+                      det_mod._image_inputs_blocked):
                 f.clear_cache()
             if hasattr(img_mod.make_images, "clear_cache"):
                 img_mod.make_images.clear_cache()
