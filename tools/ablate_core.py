@@ -144,6 +144,37 @@ def main():
         return jnp.full((G, image.size, image.size, num_channels), tick,
                         jnp.uint8)
 
+    # --- search-stage stubs ---
+    from gpd_tpu.ops import candidates as cand_mod
+
+    real_rn = cand_mod.radius_neighbors
+
+    def stub_radius_neighbors(query, query_mask, points, points_mask,
+                              radius, k, block=1024):
+        # identity-ish neighborhoods: removes the per-sample top_k sort and
+        # keeps the gather + eval costs (indices still exercise the gather)
+        q = query.shape[0]
+        n = points.shape[0]
+        idx = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32) % n, (q, k))
+        valid = jnp.ones((q, k), bool) & query_mask[:, None]
+        return idx, valid
+
+    real_eval = cand_mod._eval_orientations
+
+    def stub_eval(rel, nrm, nvalid, frames, rfix, p):
+        # shape-correct near-zero eval: isolates the orientation-eval cost
+        M = rfix.shape[0]
+        S = rel.shape[0]
+        t = jnp.sum(rel[:, 0, 0]) + jnp.sum(nrm[:, 0, 0])
+        z = jnp.zeros((M, S)) + t * 0.0
+        R = jnp.broadcast_to(jnp.eye(3), (M, S, 3, 3))
+        # all-invalid so downstream image chunks cond-skip: this variant
+        # isolates the nn/top_k/gather side of the search (eval + most of
+        # the imaging drop out; compare against no_lenet+images)
+        return dict(R=R, pos=jnp.zeros((M, S, 3)), top=z, bottom=z,
+                    center=z, width=z, mid=z.astype(jnp.int32),
+                    valid=z > 0.5, full=z > 0.5, half=z > 0.5)
+
     variants = [("full", {})]
     variants.append(("no_lenet", {"score": stub_score}))
     variants.append(("no_images", {"make_images": stub_make_images}))
@@ -152,6 +183,8 @@ def main():
     variants.append(("no_raster", {"raster": stub_raster}))
     variants.append(("no_lenet+images", {"score": stub_score,
                                          "make_images": stub_make_images}))
+    variants.append(("search_no_topk", {"search_nn": stub_radius_neighbors}))
+    variants.append(("search_no_eval", {"search_eval": stub_eval}))
 
     base = None
     for name, stubs in variants:
@@ -167,12 +200,18 @@ def main():
             if "raster" in stubs:
                 st.enter_context(
                     patched(img_mod, "_raster_kernel", stubs["raster"]))
+            if "search_nn" in stubs:
+                st.enter_context(patched(cand_mod, "radius_neighbors",
+                                         stubs["search_nn"]))
+            if "search_eval" in stubs:
+                st.enter_context(patched(cand_mod, "_eval_orientations",
+                                         stubs["search_eval"]))
             # the patched functions are looked up at trace time, so force a
             # retrace of every program that closes over them
             for f in (detect_core, det_mod.candidates_stage,
                       det_mod.score_candidates, det_mod.image_inputs_stage,
                       det_mod._images_for, det_mod._descriptor_inputs,
-                      det_mod._image_inputs_blocked):
+                      det_mod._image_inputs_blocked, cand_mod._search_kernel):
                 f.clear_cache()
             if hasattr(img_mod.make_images, "clear_cache"):
                 img_mod.make_images.clear_cache()
@@ -183,7 +222,15 @@ def main():
         print(f"{name:18s} {t*1e3:8.2f} ms   saved {delta*1e3:7.2f} ms"
               f"   -> {n_cand/t:8.0f} cand/s", flush=True)
 
-    # candidates+select only (no scoring at all): lower bound
+    # candidates+select only (no scoring at all): lower bound.
+    # Re-clear the jit caches first — they still hold the LAST variant's
+    # stubbed traces (the ExitStack restored the attrs, not the caches).
+    for f in (detect_core, det_mod.candidates_stage,
+              det_mod.score_candidates, det_mod.image_inputs_stage,
+              det_mod._images_for, det_mod._descriptor_inputs,
+              det_mod._image_inputs_blocked, cand_mod._search_kernel):
+        f.clear_cache()
+
     def cand_only():
         g = det_mod.candidates_stage(cloud, spos, smask, cfg)
         g2 = dataclasses.replace(
