@@ -133,6 +133,74 @@ def _raster_sums_pallas(rows, cols, aug, size: int,
     return out[:, :size, :].reshape(G, size, size, Cp)
 
 
+def _raster_sums_pallas2(rows_a, rows_b, cols, aug, size: int,
+                         precision=jax.lax.Precision.DEFAULT):
+    """Two histograms sharing one col-kron operand (the expensive build).
+
+    The 12/15-channel projections overlap: P0 (rows u, cols v) and P1
+    (rows w, cols v) share their column index AND 4 of 5 value channels
+    (|n| x3 + count; only the depth coordinate differs), so one merged
+    aug = [|n|, depth_a, depth_b, count] col-kron serves both — ~40% less
+    VPU operand build than two separate calls — and the two row-onehots
+    stack into a single (2R = 128)-row MXU operand (full systolic-array
+    height, vs 64 rows half-idle in the single-projection kernel).
+
+    rows_a/rows_b/cols: (G, K) int32 (invalid entries == size).
+    aug: (G, K, Cp) f32 value channels, pre-masked.
+    Returns (G, 2, size, size, Cp) f32 sums: [:, 0] contracted with
+    rows_a, [:, 1] with rows_b.
+    """
+    G, K = rows_a.shape
+    Cp = aug.shape[-1]
+    N = size * Cp
+    R = -(-(size + 1) // 8) * 8
+    Kp = -(-K // 128) * 128
+    if Kp != K:
+        pad = ((0, 0), (0, Kp - K))
+        rows_a = jnp.pad(rows_a, pad, constant_values=size)
+        rows_b = jnp.pad(rows_b, pad, constant_values=size)
+        cols = jnp.pad(cols, pad, constant_values=size)
+        aug = jnp.pad(aug, ((0, 0), (0, Kp - K), (0, 0)))
+
+    rc = jnp.stack([rows_a, rows_b, cols], axis=1)       # (G, 3, Kp)
+    augT = jnp.swapaxes(aug, 1, 2)                       # (G, Cp, Kp)
+    jj = np.arange(N, dtype=np.int32)
+    colj = jnp.asarray((jj // Cp).reshape(N, 1))         # (N, 1) i32
+
+    def kernel(rc_ref, v_ref, colj_ref, o_ref):
+        ra_k = rc_ref[0, 0:1, :]                         # (1, Kp)
+        rb_k = rc_ref[0, 1:2, :]
+        cols_k = rc_ref[0, 2:3, :]
+        vals_rep = pltpu.repeat(v_ref[0], size, axis=0)  # (N, Kp)
+        cv = jnp.where(colj_ref[:] == cols_k, vals_rep, 0.0)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (R, Kp), 0)
+        rowhot2 = jnp.concatenate(
+            [jnp.where(ra_k == rr, 1.0, 0.0),
+             jnp.where(rb_k == rr, 1.0, 0.0)], axis=0)   # (2R, Kp)
+        o_ref[0] = jax.lax.dot_general(
+            rowhot2, cv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                         # (2R, N)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((G, 2 * R, N), jnp.float32),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 3, Kp), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cp, Kp), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, 1), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * R, N), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(rc, augT, colj)
+    a = out[:, :size, :].reshape(G, size, size, Cp)
+    b = out[:, R:R + size, :].reshape(G, size, size, Cp)
+    return jnp.stack([a, b], axis=1)
+
+
 def num_shadow_points(image: ImageGeometry) -> int:
     """floor(shadow_length / voxel); shadow_length = max image dim
     (image_15_channels_strategy.h:75, hand_set.cpp:121-123)."""
@@ -264,12 +332,18 @@ def _unit_transform(pts_hand, bottom, center, image: ImageGeometry):
     return jnp.stack([u, v, w], axis=-1), inside
 
 
+def _cell_coord(c, size: int):
+    """One axis of findCellIndices (image_strategy.cpp:92-102): clamped
+    floor to the grid."""
+    return jnp.minimum(jnp.floor(c * size).astype(jnp.int32), size - 1)
+
+
 def _cells(c0, c1, size: int):
     """findCellIndices (image_strategy.cpp:92-102) + the row flip applied at
     write time (createBinaryImage etc.: row = size-1 - idx/size, col = idx%size).
     Returns flat pixel index row*size + col."""
-    vert = jnp.minimum(jnp.floor(c0 * size).astype(jnp.int32), size - 1)
-    horz = jnp.minimum(jnp.floor(c1 * size).astype(jnp.int32), size - 1)
+    vert = _cell_coord(c0, size)
+    horz = _cell_coord(c1, size)
     row = (size - 1) - vert
     col = horz
     return row * size + col
@@ -367,6 +441,84 @@ def _minmax_u8(img, joint_axes):
 _PROJECTIONS = ((0, 1, 2), (2, 1, 0), (2, 0, 1))
 
 
+def _raster_multiproj_shared(unit, inside, absn, shadow_unit, shadow_inside,
+                             size: int, num_channels: int):
+    """12/15-channel rasterization exploiting cross-projection sharing
+    (TPU path). The projection index structure is
+        P0: rows u, cols v, depth w
+        P1: rows w, cols v, depth u
+        P2: rows w, cols u, depth v
+    so P0+P1 share their column one-hot and 4 of 5 value channels (the
+    merged-kron two-output kernel), while P2 runs the single kernel.
+    Produces channels bit-equivalent to the generic per-projection loop."""
+    G = unit.shape[0]
+    sent = jnp.int32(size)
+
+    def idxs(u3, mask):
+        cu = _cell_coord(u3[..., 0], size)
+        cv_ = _cell_coord(u3[..., 1], size)
+        cw = _cell_coord(u3[..., 2], size)
+        rows_u = jnp.where(mask, (size - 1) - cu, sent)
+        rows_w = jnp.where(mask, (size - 1) - cw, sent)
+        cols_v = jnp.where(mask, cv_, sent)
+        cols_u = jnp.where(mask, cu, sent)
+        return rows_u, rows_w, cols_v, cols_u
+
+    rows_u, rows_w, cols_v, cols_u = idxs(unit, inside)
+    mf = inside.astype(jnp.float32)[..., None]
+    u_c, v_c, w_c = unit[..., 0:1], unit[..., 1:2], unit[..., 2:3]
+    one = jnp.ones_like(u_c)
+    # Merged P0+P1 channels: [|n| x3, depth_P0 = w, depth_P1 = u, count].
+    aug6 = jnp.concatenate([absn, w_c, u_c, one], -1) * mf
+    s01 = _raster_sums_pallas2(rows_u, rows_w, cols_v, aug6, size)
+    aug5 = jnp.concatenate([absn, v_c, one], -1) * mf
+    s2 = _raster_sums_pallas(rows_w, cols_u, aug5, size)
+    proj_nd = [
+        (jnp.concatenate([s01[:, 0, ..., 0:3], s01[:, 0, ..., 3:4]], -1),
+         s01[:, 0, ..., 5]),
+        (jnp.concatenate([s01[:, 1, ..., 0:3], s01[:, 1, ..., 4:5]], -1),
+         s01[:, 1, ..., 5]),
+        (s2[..., 0:4], s2[..., 4]),
+    ]
+
+    if num_channels == 15:
+        srows_u, srows_w, scols_v, scols_u = idxs(shadow_unit, shadow_inside)
+        smf = shadow_inside.astype(jnp.float32)[..., None]
+        su_c, sv_c, sw_c = (shadow_unit[..., 0:1], shadow_unit[..., 1:2],
+                            shadow_unit[..., 2:3])
+        sone = jnp.ones_like(su_c)
+        ss01 = _raster_sums_pallas2(srows_u, srows_w, scols_v,
+                                    jnp.concatenate([sw_c, su_c, sone], -1)
+                                    * smf, size)
+        ss2 = _raster_sums_pallas(srows_w, scols_u,
+                                  jnp.concatenate([sv_c, sone], -1) * smf,
+                                  size)
+        proj_sh = [
+            (ss01[:, 0, ..., 0], ss01[:, 0, ..., 2]),
+            (ss01[:, 1, ..., 1], ss01[:, 1, ..., 2]),
+            (ss2[..., 0], ss2[..., 1]),
+        ]
+
+    chans = []
+    for pi in range(3):
+        sums4, cnt = proj_nd[pi]
+        mean = sums4 / jnp.maximum(cnt, 1.0)[..., None]
+        nimg = _dilate3(mean[..., 0:3])
+        chans.append(_minmax_u8(nimg, joint_axes=(1, 2, 3)))
+        dimg = jnp.where(cnt[..., None] > 0, 1.0 - mean[..., 3:4], 0.0)
+        chans.append(_minmax_u8(_dilate3(dimg), joint_axes=(1, 2, 3)))
+        if num_channels == 15:
+            ssum, scnt = proj_sh[pi]
+            smean = ssum / jnp.maximum(scnt, 1.0)
+            nonzero = scnt > 0
+            mx = jnp.max(jnp.where(nonzero, smean, -jnp.inf), axis=(1, 2),
+                         keepdims=True)
+            mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+            simg = jnp.where(nonzero, mx - smean, 0.0)[..., None]
+            chans.append(_minmax_u8(_dilate3(simg), joint_axes=(1, 2, 3)))
+    return jnp.concatenate(chans, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("image", "num_channels"))
 def _raster_kernel(unit, inside, nrm_hand, shadow_unit, shadow_inside,
                    image: ImageGeometry, num_channels: int):
@@ -380,6 +532,10 @@ def _raster_kernel(unit, inside, nrm_hand, shadow_unit, shadow_inside,
     size = image.size
     G = unit.shape[0]
     absn = jnp.abs(nrm_hand)
+
+    if _use_pallas() and num_channels in (12, 15):
+        return _raster_multiproj_shared(unit, inside, absn, shadow_unit,
+                                        shadow_inside, size, num_channels)
 
     n_proj = 3 if num_channels in (12, 15) else 1
     chans = []
