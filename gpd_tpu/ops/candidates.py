@@ -305,17 +305,49 @@ def _search_kernel(points, normals, pmask, sample_pos, frames, frame_valid,
     if nblk == 1:
         return eval_block(sample_pos, frame_valid, frames)
 
+    # Valid-first sample ordering: blocks past the valid-sample count are
+    # all-padding and lax.cond skips their whole (M, blk, K) evaluation.
+    # Big-scene sample sets are often sparse (e.g. table_mug's above-plane
+    # pool holds ~2k of the 5k requested samples), and the reference would
+    # spend the difference on with-replacement duplicates (cloud.cpp:382)
+    # rather than new work. Identity when every sample is valid (the stable
+    # argsort of an all-False key is the identity permutation).
+    order = jnp.argsort(~frame_valid, stable=True)
+    inv_order = jnp.argsort(order)
+    spos_o = sample_pos[order]
+    fval_o = frame_valid[order]
+    frames_o = frames[order]
+    n_valid = jnp.sum(frame_valid)
+
     pad = nblk * blk - S
-    spos_p = jnp.pad(sample_pos, ((0, pad), (0, 0)), constant_values=1e6)
-    fval_p = jnp.pad(frame_valid, (0, pad))
-    frames_p = jnp.pad(frames, ((0, pad), (0, 0), (0, 0)))
+    spos_p = jnp.pad(spos_o, ((0, pad), (0, 0)), constant_values=1e6)
+    fval_p = jnp.pad(fval_o, (0, pad))
+    frames_p = jnp.pad(frames_o, ((0, pad), (0, 0), (0, 0)))
+
+    def dead_block(args):
+        z = jnp.zeros((M, blk), jnp.float32)
+        zb = jnp.zeros((M, blk), bool)
+        return dict(R=jnp.zeros((M, blk, 3, 3), jnp.float32),
+                    pos=jnp.zeros((M, blk, 3), jnp.float32),
+                    top=z, bottom=z, center=z, width=z,
+                    mid=jnp.zeros((M, blk), jnp.int32),
+                    valid=zb, full=zb, half=zb)
+
+    def blk_fn(args):
+        b = args[0]
+        return jax.lax.cond(
+            b * blk < n_valid,
+            lambda a: eval_block(a[1], a[2], a[3]),
+            dead_block, args)
+
     out = jax.lax.map(
-        lambda args: eval_block(*args),
-        (spos_p.reshape(nblk, blk, 3), fval_p.reshape(nblk, blk),
-         frames_p.reshape(nblk, blk, 3, 3)))
-    # (nblk, M, blk, ...) -> (M, S, ...)
-    return {kk: jnp.moveaxis(v, 0, 1).reshape((M, nblk * blk) + v.shape[3:])
-            [:, :S] for kk, v in out.items()}
+        blk_fn,
+        (jnp.arange(nblk), spos_p.reshape(nblk, blk, 3),
+         fval_p.reshape(nblk, blk), frames_p.reshape(nblk, blk, 3, 3)))
+    # (nblk, M, blk, ...) -> (M, S, ...) then un-permute to caller order.
+    merged = {kk: jnp.moveaxis(v, 0, 1).reshape((M, nblk * blk) + v.shape[3:])
+              [:, :S] for kk, v in out.items()}
+    return {kk: v[:, inv_order] for kk, v in merged.items()}
 
 
 def search_hands(cloud, sample_pos: jax.Array, sample_mask: jax.Array,

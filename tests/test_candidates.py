@@ -231,3 +231,35 @@ class TestSampleBlocking:
                                    np.asarray(g2.width)[v], atol=1e-6)
         np.testing.assert_array_equal(np.asarray(g1.full_antipodal),
                                       np.asarray(g2.full_antipodal))
+
+    def test_blocked_skips_invalid_samples(self, rng, monkeypatch):
+        """With a sparse sample mask the blocked path reorders valid-first
+        and cond-skips all-invalid blocks; results for valid samples must
+        still match the single-block path exactly (in caller order)."""
+        pts, nrm = make_slab_cloud(rng, n=900)
+        cloud = CloudArrays.from_numpy(pts, normals=nrm)
+        cfg = DetectorConfig(search_neighbors_cap=256, frame_neighbors_cap=32)
+        spos = jnp.asarray(pts[:300])
+        # Scattered validity: ~1/3 valid, interleaved so the reorder is a
+        # real permutation.
+        smask = jnp.asarray(np.arange(300) % 3 == 1)
+
+        g1 = cand.search_hands(cloud, spos, smask, cfg)
+        cand._search_kernel.clear_cache()
+        monkeypatch.setattr(cand, "_BLOCK_ELEMS", 8 * 128 * 256)
+        g2 = cand.search_hands(cloud, spos, smask, cfg)
+        cand._search_kernel.clear_cache()
+
+        np.testing.assert_array_equal(np.asarray(g1.valid),
+                                      np.asarray(g2.valid))
+        v = np.asarray(g1.valid)
+        assert v.sum() > 0
+        # Hands of invalid samples must be invalid in both.
+        sid = np.asarray(g1.sample_id)
+        assert not v[~np.asarray(smask)[sid]].any()
+        np.testing.assert_allclose(np.asarray(g1.position)[v],
+                                   np.asarray(g2.position)[v], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1.score)[v],
+                                   np.asarray(g2.score)[v], atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(g1.full_antipodal),
+                                      np.asarray(g2.full_antipodal))
