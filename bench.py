@@ -122,6 +122,29 @@ def main():
           f"candidates/iter {n_cand2}, valid grasps {n_valid2}, "
           f"p50 {p50_m*1000:.2f} ms, warmup {warm_m:.1f}s", file=sys.stderr)
 
+    # Workload 3: CEM on krylon at cem_vino_params scale (50 init + 5x50,
+    # SUM sampling; reference: sequential_importance_sampling.cpp:54-187).
+    import jax
+
+    from gpd_tpu.cem import SequentialImportanceSampling
+    from gpd_tpu.config import CEMConfig
+
+    cfg3 = dataclasses.replace(cfg, min_inliers=0)
+    det3 = GraspDetector(cfg3, params=det.params)
+    det3.cfg = dataclasses.replace(kcfg, min_inliers=0)
+    sis = SequentialImportanceSampling(det3, CEMConfig())
+    t0 = time.perf_counter()
+    sis.detect(cloud, key=jax.random.PRNGKey(0), verbose=False)
+    cem_warm = time.perf_counter() - t0
+    times = []
+    for i in range(3):
+        sis.detect(cloud, key=jax.random.PRNGKey(i), verbose=False)
+        times.append(sis.last_runtime_s)
+    cem_p50 = float(np.median(times))
+    print(f"# cem: rounds {sis.last_round_counts}, grasps "
+          f"{sis.last_num_grasps}, p50 {cem_p50*1000:.1f} ms, "
+          f"warmup {cem_warm:.1f}s", file=sys.stderr)
+
     print(json.dumps({
         "metric": "candidates_per_sec",
         "value": round(cps, 1),
@@ -135,6 +158,16 @@ def main():
             "num_samples": 5000,
             "valid_grasps": n_valid2,
             "warmup_s": round(warm_m, 1),
+        },
+        "cem": {
+            "total_s_p50": round(cem_p50, 4),
+            "round_candidates": sis.last_round_counts,
+            "final_grasps": sis.last_num_grasps,
+            "num_init_samples": 50,
+            "num_iterations": 5,
+            "samples_per_iteration": 50,
+            "sampling": "sum_of_gaussians",
+            "warmup_s": round(cem_warm, 1),
         },
     }))
 

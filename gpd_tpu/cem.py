@@ -21,6 +21,7 @@ of SURVEY.md §5. Single-device when ``mesh`` is None.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Optional
 
@@ -36,6 +37,33 @@ from gpd_tpu.ops import preprocess as pp
 
 SUM_OF_GAUSSIANS = 0
 MAX_OF_GAUSSIANS = 1
+
+
+@functools.partial(jax.jit, static_argnames=("method", "n_gauss", "n_rand",
+                                             "workspace"))
+def _draw_round(key, centers, cmask, points, pmask, sigma, workspace,
+                method: int, n_gauss: int, n_rand: int):
+    """One round's sample draws as a single device program (each eager op
+    is a dispatch round trip on remote backends): (1-p)*N Gaussian-mixture
+    draws + p*N uniform cloud draws (.cpp:112-157)."""
+    kg, ku = jax.random.split(key)
+    if method == MAX_OF_GAUSSIANS:
+        gs = draw_max_of_gaussians(kg, centers, cmask, sigma, n_gauss)
+    else:
+        gs = draw_sum_of_gaussians(kg, centers, cmask, sigma, n_gauss)
+    us = draw_uniform_cloud_samples(ku, points, pmask, workspace, n_rand)
+    return jnp.concatenate([gs, us])
+
+
+@jax.jit
+def _accum_centers(buf, buf_mask, sample, valid, ofs):
+    """Write one round's candidate samples into the fixed-capacity mixture-
+    center accumulator at offset ``ofs``. Fixed shapes mean every
+    importance-sampling round shares ONE compiled draw kernel (a growing
+    concatenate would retrace — and remote-compile — per round)."""
+    buf = jax.lax.dynamic_update_slice(buf, sample, (ofs, 0))
+    buf_mask = jax.lax.dynamic_update_slice(buf_mask, valid, (ofs,))
+    return buf, buf_mask
 
 
 def draw_sum_of_gaussians(key, centers, center_mask, sigma, n):
@@ -96,6 +124,11 @@ class SequentialImportanceSampling:
         self.cem = cem
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        # Stats of the last detect() call (the reference prints these,
+        # sequential_importance_sampling.cpp:105-186; bench.py records them).
+        self.last_round_counts = []
+        self.last_num_grasps = 0
+        self.last_runtime_s = 0.0
 
     def detect(self, cloud: CloudArrays, key: Optional[jax.Array] = None,
                verbose: bool = True) -> Grasps:
@@ -127,15 +160,28 @@ class SequentialImportanceSampling:
 
         # Each round stores (candidates, sample_pos, sample_mask, key) so
         # classification can run once at the end; per-round counts stay on
-        # device (no host sync inside the loop).
+        # device (no host sync inside the loop). Mixture centers accumulate
+        # into a FIXED-capacity buffer (one compiled draw kernel for all
+        # rounds; a growing concatenate would retrace per round).
         rounds = []
-        all_centers = []
-        all_center_masks = []
         round_counts = []
+        M = cfg.num_orientations * len(cfg.hand_axes)
+
+        def rcap(s):
+            # shard_samples pads the sample axis to a multiple of the mesh.
+            s_pad = s + ((-s) % n_dev) if n_dev > 1 else s
+            return s_pad * M
+
+        round_caps = [rcap(cem.num_init_samples)] + \
+            [rcap(cem.num_samples_per_iteration)] * cem.num_iterations
+        centers = jnp.zeros((sum(round_caps), 3), jnp.float32)
+        cmask = jnp.zeros(sum(round_caps), bool)
+        ofs = 0
 
         def run_round(spos, smask, k):
             """Candidates-only evaluation (the reference's per-iteration
             work: generateGraspCandidates + filters, no CNN)."""
+            nonlocal centers, cmask, ofs
             if mesh is not None and n_dev > 1:
                 spos, smask = sharded.shard_samples(mesh, spos, smask,
                                                     self.mesh_axis)
@@ -144,8 +190,11 @@ class SequentialImportanceSampling:
             else:
                 g = candidates_stage(cloud, spos, smask, cfg)
             rounds.append((g, spos, smask, k))
-            all_centers.append(g.sample)
-            all_center_masks.append(g.valid)
+            assert ofs + g.valid.shape[0] <= cmask.shape[0], \
+                "mixture-center buffer under-sized for round capacities"
+            centers, cmask = _accum_centers(centers, cmask, g.sample,
+                                            g.valid, jnp.int32(ofs))
+            ofs += g.valid.shape[0]
             round_counts.append(jnp.sum(g.valid))
             return g
 
@@ -153,17 +202,13 @@ class SequentialImportanceSampling:
         run_round(sample_pos, valid, kk)
 
         # 2. Importance-sampling rounds (.cpp:112-157): candidates only.
+        # Fixed-capacity centers/cmask -> every round reuses ONE compiled
+        # draw program.
         for it in range(cem.num_iterations):
-            centers = jnp.concatenate(all_centers)
-            cmask = jnp.concatenate(all_center_masks)
-            kg, ku, kd, key = jax.random.split(key, 4)
-            if cem.sampling_method == MAX_OF_GAUSSIANS:
-                gs = draw_max_of_gaussians(kg, centers, cmask, sigma, n_gauss)
-            else:
-                gs = draw_sum_of_gaussians(kg, centers, cmask, sigma, n_gauss)
-            us = draw_uniform_cloud_samples(ku, cloud.points, cloud.mask,
-                                            cfg.workspace, n_rand)
-            spos = jnp.concatenate([gs, us])
+            kg, kd, key = jax.random.split(key, 3)
+            spos = _draw_round(kg, centers, cmask, cloud.points, cloud.mask,
+                               jnp.float32(sigma), tuple(cfg.workspace),
+                               cem.sampling_method, n_gauss, n_rand)
             smask = jnp.ones(spos.shape[0], bool)
             run_round(spos, smask, kd)
 
@@ -179,7 +224,8 @@ class SequentialImportanceSampling:
                                                self.mesh_axis)
             else:
                 sg, _ = score_candidates(cloud, g, spos, smask, params, k,
-                                         cfg, cap, scores_only=True)
+                                         cfg, cap, scores_only=True,
+                                         canonical=True)
             scored.append(sg)
         merged = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs), *scored)
@@ -188,14 +234,17 @@ class SequentialImportanceSampling:
 
         # 4. Cluster + final ordering (.cpp:174-186).
         out = select_and_cluster(merged, cfg)
+        # Count fetches happen after the whole pipeline is enqueued — they
+        # never serialize the round loop's dispatch.
+        counts = [int(np.asarray(c)) for c in round_counts]
+        n_final = int(np.asarray(out.valid).sum())
+        self.last_round_counts = counts
+        self.last_num_grasps = n_final
+        self.last_runtime_s = time.time() - t0
         if verbose:
-            # Count fetches happen after the whole pipeline is enqueued —
-            # they never serialize the round loop's dispatch.
-            counts = [int(np.asarray(c)) for c in round_counts]
             print(f"Initially detected grasp candidates: {counts[0]}")
             for it, c in enumerate(counts[1:]):
                 print(f"Added {c} grasp candidates in round {it}.")
-            print(f"Final result: found {int(np.asarray(out.valid).sum())} "
-                  f"grasps.")
-            print(f"Total runtime: {time.time() - t0:.4f}s")
+            print(f"Final result: found {n_final} grasps.")
+            print(f"Total runtime: {self.last_runtime_s:.4f}s")
         return out

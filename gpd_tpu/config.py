@@ -208,6 +208,13 @@ class DetectorConfig:
     frame_neighbors_cap: int = 64    # K for local-frame estimation
     search_neighbors_cap: int = 4096  # K for hand search neighborhoods
                                       # (auto-clamped to the cloud size)
+    search_identity_max: int = 32768  # clouds up to this size run the hand
+                                      # search on IDENTITY neighborhoods
+                                      # (whole cloud + in-radius mask): sort-
+                                      # free AND uncapped — exactly the
+                                      # reference's kd-tree semantics. Bigger
+                                      # clouds fall back to exact nearest-K
+                                      # at search_neighbors_cap.
     image_neighbors_cap: int = 2048   # K for descriptor neighborhoods (the
                                       # image volume is far smaller than the
                                       # search ball; nearest-K covers it)

@@ -170,7 +170,9 @@ class DataGenerator:
         ground-truth labels from the mesh cloud, balanced 50/50.
         Returns (images (N, s, s, C) uint8, labels (N,) uint8)."""
         det = self.detector
-        cfg = det.cfg
+        # Per-capacity-bucket neighbor clamps (identity search for mid-size
+        # view clouds); one compile per bucket since capacities are pinned.
+        cfg = det.effective_config(view_cloud)
         min_pos = self.gen.min_grasps_per_view
         images_all: List[np.ndarray] = []
         labels_all: List[np.ndarray] = []

@@ -157,3 +157,109 @@ def object_zoo(num_objects: int, seed: int = 0,
         kind = OBJECT_KINDS[i % len(OBJECT_KINDS)]
         pts, nrm = make_object(rng, kind, points_per_object)
         yield f"{kind}_{i:03d}", pts, nrm
+
+
+def make_scene(rng: np.random.Generator, n_objects: int = 0,
+               points_per_object: int = 6000, table_halfsize: float = 0.22,
+               table_points: int = 9000) -> Tuple[np.ndarray, np.ndarray]:
+    """Multi-object table scene: 2-4 zoo objects resting on a z=0 plane plus
+    a dense table patch — the synthetic analog of the dense-clutter scenes
+    the reference's serving claims are about (reference README.md:237-244;
+    its BigBIRD views likewise include the turntable surface).
+
+    The table IS part of the returned ground-truth cloud: grasps colliding
+    with the plane or a neighboring object must label negative in
+    reevaluateHypotheses (hand_search.cpp:66-134), which is exactly the
+    signal single-object training data lacks.
+
+    Returns (points, outward normals) of the full scene surface.
+    """
+    k = int(n_objects) if n_objects else int(rng.integers(2, 5))
+    pts_all: List[np.ndarray] = []
+    nrm_all: List[np.ndarray] = []
+    placed: List[Tuple[np.ndarray, float]] = []
+    for i in range(k):
+        kind = OBJECT_KINDS[int(rng.integers(len(OBJECT_KINDS)))]
+        pts, nrm = make_object(rng, kind, points_per_object)
+        pts[:, 2] -= pts[:, 2].min()                    # rest on the plane
+        r = float(np.max(np.linalg.norm(pts[:, :2], axis=1)))
+        lim = max(table_halfsize - r, 0.01)
+        xy = rng.uniform(-lim, lim, 2)
+        for _ in range(40):                             # overlap rejection
+            xy = rng.uniform(-lim, lim, 2)
+            if all(np.linalg.norm(xy - c) > r + cr + 0.005
+                   for c, cr in placed):
+                break
+        placed.append((xy, r))
+        pts[:, :2] += xy
+        pts_all.append(pts.astype(np.float32))
+        nrm_all.append(nrm)
+    txy = rng.uniform(-table_halfsize, table_halfsize,
+                      (table_points, 2)).astype(np.float32)
+    tpts = np.concatenate([txy, np.zeros((table_points, 1), np.float32)], 1)
+    tnrm = np.tile(np.array([0, 0, 1], np.float32), (table_points, 1))
+    return (np.concatenate(pts_all + [tpts]),
+            np.concatenate(nrm_all + [tnrm]))
+
+
+def render_view_occluded(rng: np.random.Generator, pts: np.ndarray,
+                         nrm: np.ndarray, cam: np.ndarray,
+                         noise: float = 5e-4, dropout: float = 0.05,
+                         cell_rad: float = 0.006) -> np.ndarray:
+    """render_view plus inter-object occlusion: a spherical z-buffer keeps
+    only the nearest surface per angular cell (~cell_rad radians), so
+    objects hide what is behind them — the property that makes clutter
+    views clutter. Backface culling still applies (a surface facing away
+    is never seen)."""
+    to_cam = _unit_rows(cam[None, :] - pts)
+    front = np.sum(to_cam * nrm, axis=1) > 0.1
+    idx = np.nonzero(front)[0]
+    if len(idx) == 0:
+        return np.zeros((0, 3), np.float32)
+    p = pts[idx]
+    d = p - cam[None, :]
+    dist = np.linalg.norm(d, axis=1)
+    dirs = d / dist[:, None]
+    # Angular binning: azimuth/elevation cells of ~cell_rad.
+    az = np.arctan2(dirs[:, 1], dirs[:, 0])
+    el = np.arcsin(np.clip(dirs[:, 2], -1, 1))
+    ia = np.floor(az / cell_rad).astype(np.int64)
+    ie = np.floor(el / cell_rad).astype(np.int64)
+    cell = (ia + (1 << 20)) * (1 << 21) + (ie + (1 << 20))
+    order = np.lexsort((dist, cell))
+    cell_sorted = cell[order]
+    first = np.ones(len(order), bool)
+    first[1:] = cell_sorted[1:] != cell_sorted[:-1]
+    # Nearest point per cell, plus anything within 1 cm of it (a cell can
+    # legitimately contain several points of the SAME nearby surface).
+    near = np.minimum.reduceat(dist[order], np.nonzero(first)[0])
+    near_per = np.repeat(near, np.diff(np.nonzero(
+        np.append(first, True))[0]))
+    keep_sorted = dist[order] <= near_per + 0.01
+    keep = np.zeros(len(order), bool)
+    keep[order] = keep_sorted
+    keep &= rng.uniform(size=len(keep)) > dropout
+    p = p[keep]
+    ray = _unit_rows(p - cam[None, :])
+    p = p + ray * rng.normal(scale=noise, size=(len(p), 1))
+    return p.astype(np.float32)
+
+
+def render_fused_views(rng: np.random.Generator, pts: np.ndarray,
+                       nrm: np.ndarray, cams: np.ndarray,
+                       occluded: bool = True
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Multi-camera capture of one scene: render each camera's partial view
+    (already in the common world frame, so fusion is concatenation — the
+    synthetic analog of datagen.fuse_views' table-frame transforms,
+    data_generator.cpp:617-665). Returns (points, camera-source bitmask
+    with bit i = camera i, view_points)."""
+    render = render_view_occluded if occluded else render_view
+    pts_out, cam_out = [], []
+    for i, cam in enumerate(cams):
+        p = render(rng, pts, nrm, np.asarray(cam, np.float32))
+        pts_out.append(p)
+        cam_out.append(np.full(len(p), np.uint32(1) << np.uint32(i),
+                               np.uint32))
+    return (np.concatenate(pts_out), np.concatenate(cam_out),
+            np.asarray(cams, np.float32).reshape(-1, 3))

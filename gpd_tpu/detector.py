@@ -31,6 +31,7 @@ from gpd_tpu.ops import candidates as cand
 from gpd_tpu.ops import images as img
 from gpd_tpu.ops import preprocess as pp
 from gpd_tpu.ops.frames import estimate_frames
+from gpd_tpu.ops import neighbors as nbr
 from gpd_tpu.ops.neighbors import radius_mask, radius_neighbors
 from gpd_tpu.ops.normals import (estimate_normals, refine_normals,
                                  reverse_normals_cloud)
@@ -132,9 +133,14 @@ def _image_point_mask(cloud: CloudArrays, key: jax.Array,
 
 def _per_sample_inputs(cloud: CloudArrays, img_mask: jax.Array,
                        sample_pos: jax.Array, sample_mask: jax.Array,
-                       key: jax.Array, cfg: DetectorConfig):
+                       key: jax.Array, cfg: DetectorConfig,
+                       sample_uid=None):
     """Per-sample descriptor inputs for one block of samples: image-radius
-    neighborhoods + shadow point sets (image_generator.cpp:17-70)."""
+    neighborhoods + shadow point sets (image_generator.cpp:17-70).
+
+    ``sample_uid`` (optional (S,) int32) keys each sample's shadow jitter by
+    its ORIGINAL index, so results are invariant to the active-first
+    permutation and blocking of the sample axis."""
     # Per-sample image-radius neighborhoods, shared by the sample's hands
     # (image_generator.cpp:42-64). When the cap covers the cloud, use
     # identity neighborhoods (whole cloud + in-radius mask): per-chunk
@@ -148,27 +154,31 @@ def _per_sample_inputs(cloud: CloudArrays, img_mask: jax.Array,
                                       img_mask, cfg.image_radius)
         nn_idx = None
     else:
+        # exact=True: on-chip A/B (tools/check_neighbors_tpu.py,
+        # NEIGHBORS_TPU.md) measured approx_min_k recall 0.95 here at
+        # 3/10 top-10 overlap vs exact on table_mug for a ~1% latency
+        # difference — exactness is effectively free now that frames and
+        # normals use the moment-matmul path instead of nearest-K.
         nn_idx, nn_valid = radius_neighbors(
             sample_pos, sample_mask, cloud.points, img_mask,
-            radius=cfg.image_radius, k=k_img)
+            radius=cfg.image_radius, k=k_img, exact=True)
         nn_d2 = None
 
     if cfg.image_geometry.num_channels == 15:
         # Shadow sources: up to shadow_source_cap of the nearest neighborhood
         # points (occupied-voxel sets saturate quickly, so capping the ray
         # sources bounds the dedup-sort cost with negligible occupancy
-        # change). Neighborhoods are not distance-ordered, so pick sources
-        # with an approximate top-k — the sources are a statistical sample
-        # and the shadow is jittered, so recall < 1 only perturbs which rays
-        # cast.
+        # change). exact=True keeps source selection identical across
+        # backends (free: the chip-side cost difference is noise,
+        # NEIGHBORS_TPU.md).
         sc = min(cfg.shadow_source_cap, nn_valid.shape[1])
         if sc < nn_valid.shape[1]:
             if nn_d2 is None:
                 nn_d2 = jnp.sum(
                     (sample_pos[:, None, :] - cloud.points[nn_idx]) ** 2,
                     axis=-1)
-            negd, src_pos = jax.lax.approx_max_k(
-                jnp.where(nn_valid, -nn_d2, -jnp.inf), sc)
+            negd, src_pos = nbr.select_max_k(
+                jnp.where(nn_valid, -nn_d2, -jnp.inf), sc, exact=True)
             src_idx = (src_pos if identity_nn
                        else jnp.take_along_axis(nn_idx, src_pos, axis=1))
             src_valid = negd > -jnp.inf
@@ -184,7 +194,7 @@ def _per_sample_inputs(cloud: CloudArrays, img_mask: jax.Array,
             cloud.cam_source[src_idx], cloud.view_points,
             jnp.float32(img.shadow_length_of(cfg.image_geometry)),
             n_sp=img.num_shadow_points(cfg.image_geometry),
-            v_cap=cfg.shadow_voxel_cap)
+            v_cap=cfg.shadow_voxel_cap, sample_uid=sample_uid)
     else:
         shadow_pts = shadow_valid = None
     return nn_idx, nn_valid, shadow_pts, shadow_valid
@@ -214,25 +224,28 @@ _SAMPLE_BLOCK = 512
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block"))
 def _image_inputs_blocked(cloud: CloudArrays, sample_pos: jax.Array,
-                          sample_mask: jax.Array, n_active: jax.Array,
-                          key: jax.Array, cfg: DetectorConfig, block: int):
+                          sample_mask: jax.Array, sample_uid: jax.Array,
+                          n_active: jax.Array, key: jax.Array,
+                          cfg: DetectorConfig, block: int):
     """_per_sample_inputs over sample blocks, skipping blocks past the
-    active count (callers order samples active-first). Returns the same
-    tuple as image_inputs_stage."""
+    active count (callers order samples active-first). ``sample_uid`` holds
+    each row's ORIGINAL sample index so shadow jitter is invariant to the
+    permutation/blocking. Returns the same tuple as image_inputs_stage."""
     img_mask = _image_point_mask(cloud, key, cfg)
     S = sample_pos.shape[0]
     nblk = -(-S // block)
     pad = nblk * block - S
     spos = jnp.pad(sample_pos, ((0, pad), (0, 0)), constant_values=1e6)
     smask = jnp.pad(sample_mask, (0, pad))
+    suid = jnp.pad(sample_uid, (0, pad))
     identity_nn = min(cfg.image_neighbors_cap,
                       cloud.points.shape[0]) >= cloud.points.shape[0]
     with_shadows = cfg.image_geometry.num_channels == 15
 
     def live(args):
-        b, sp, sm = args
-        out = _per_sample_inputs(cloud, img_mask, sp, sm,
-                                 jax.random.fold_in(key, 100 + b), cfg)
+        b, sp, sm, su = args
+        out = _per_sample_inputs(cloud, img_mask, sp, sm, key, cfg,
+                                 sample_uid=su)
         nn_idx, nn_valid, spts, svalid = out
         res = (nn_valid,) if identity_nn else (nn_idx, nn_valid)
         if with_shadows:
@@ -240,7 +253,7 @@ def _image_inputs_blocked(cloud: CloudArrays, sample_pos: jax.Array,
         return res
 
     def dead(args):
-        b, sp, sm = args
+        b, sp, sm, su = args
         k_img = min(cfg.image_neighbors_cap, cloud.points.shape[0])
         nn_valid = jnp.zeros(
             (block, cloud.points.shape[0] if identity_nn else k_img), bool)
@@ -260,7 +273,8 @@ def _image_inputs_blocked(cloud: CloudArrays, sample_pos: jax.Array,
 
     out = jax.lax.map(blk_fn, (jnp.arange(nblk),
                                spos.reshape(nblk, block, 3),
-                               smask.reshape(nblk, block)))
+                               smask.reshape(nblk, block),
+                               suid.reshape(nblk, block)))
     out = [a.reshape((nblk * block,) + a.shape[2:])[:S] for a in out]
     i = 0
     if identity_nn:
@@ -276,12 +290,18 @@ def _image_inputs_blocked(cloud: CloudArrays, sample_pos: jax.Array,
     return nn_idx, nn_valid, shadow_pts, shadow_valid
 
 
-def _sample_activity(grasps: Grasps, num_samples: int) -> jax.Array:
-    """(S,) bool: sample has >= 1 valid candidate. Candidates from the hand
-    search are sample-major (S * M slots); fall back to a segment reduce for
-    any other layout."""
+def _sample_activity(grasps: Grasps, num_samples: int,
+                     canonical: bool) -> jax.Array:
+    """(S,) bool: sample has >= 1 valid candidate.
+
+    ``canonical=True`` asserts (statically, from the caller) that the batch
+    is the hand search's sample-major layout (sample_id ==
+    repeat(arange(S), M)) and takes a scatter-free reshape; any other batch
+    — compacted, reordered, or merely divisible-capacity — must use the
+    segment reduce (a reshape on a reordered batch would assign activity
+    bits to the wrong samples)."""
     cap = grasps.capacity
-    if cap % num_samples == 0:
+    if canonical and cap % num_samples == 0:
         m = cap // num_samples
         return jnp.any(grasps.valid.reshape(num_samples, m), axis=1)
     seg = jax.ops.segment_max(grasps.valid.astype(jnp.int32),
@@ -289,11 +309,15 @@ def _sample_activity(grasps: Grasps, num_samples: int) -> jax.Array:
     return seg > 0
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "canonical"))
 def _descriptor_inputs(cloud: CloudArrays, grasps: Grasps,
                        sample_pos: jax.Array, sample_mask: jax.Array,
-                       key: jax.Array, cfg: DetectorConfig):
+                       key: jax.Array, cfg: DetectorConfig,
+                       canonical: bool = False):
     """Descriptor inputs with active-sample compaction for big sample sets.
+
+    ``canonical`` (static): caller guarantees ``grasps`` is the hand
+    search's sample-major layout (see _sample_activity).
 
     Returns (nn_idx, nn_valid, shadow_pts, shadow_valid, sid_map) where
     sid_map (or None) remaps grasp sample ids into the reordered sample
@@ -302,13 +326,14 @@ def _descriptor_inputs(cloud: CloudArrays, grasps: Grasps,
     if S <= _SAMPLE_BLOCK:
         out = image_inputs_stage(cloud, sample_pos, sample_mask, key, cfg)
         return out + (None,)
-    active = _sample_activity(grasps, S) & sample_mask
+    active = _sample_activity(grasps, S, canonical) & sample_mask
     sorder = jnp.argsort(~active, stable=True)
     sid_map = jnp.argsort(sorder)          # old sample id -> new row
     spos2 = sample_pos[sorder]
     smask2 = sample_mask[sorder] & active[sorder]
     nn_idx, nn_valid, spts, svalid = _image_inputs_blocked(
-        cloud, spos2, smask2, jnp.sum(active), key, cfg, _SAMPLE_BLOCK)
+        cloud, spos2, smask2, sorder.astype(jnp.int32), jnp.sum(active),
+        key, cfg, _SAMPLE_BLOCK)
     return nn_idx, nn_valid, spts, svalid, sid_map
 
 
@@ -376,22 +401,26 @@ def _slice_grasps(g_all: Grasps, start, cap: int) -> Grasps:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "image_cap",
-                                             "scores_only"))
+                                             "scores_only", "canonical"))
 def score_candidates(cloud: CloudArrays, grasps: Grasps,
                      sample_pos: jax.Array, sample_mask: jax.Array, params,
                      key: jax.Array, cfg: DetectorConfig, image_cap: int,
-                     scores_only: bool = True) -> Tuple[Grasps, jax.Array]:
+                     scores_only: bool = True,
+                     canonical: bool = False) -> Tuple[Grasps, jax.Array]:
     """Images + CNN scores for an *existing* candidate batch — the
     reference's pruneGraspCandidates shape (grasp_detector.cpp:529-552):
     descriptor inputs, valid-first ordering, then image + score in
     fixed-size chunks so the candidate count is unbounded while per-chunk
     memory stays capped. ``sample_pos``/``key`` must be the ones the
     candidates were generated from (neighborhoods and shadows are
-    per-sample). Returns (scored Grasps in valid-first order, images)."""
+    per-sample). ``canonical=True`` asserts the batch is still in the hand
+    search's sample-major layout (enables a scatter-free activity reduce).
+    Returns (scored Grasps in valid-first order, images)."""
     # 3. Descriptor inputs (plane removal, neighborhoods, shadows), with
     # active-sample compaction for big sample sets.
     nn_idx, nn_valid, shadow_pts, shadow_valid, sid_map = _descriptor_inputs(
-        cloud, grasps, sample_pos, sample_mask, key, cfg)
+        cloud, grasps, sample_pos, sample_mask, key, cfg,
+        canonical=canonical)
 
     total = grasps.capacity
     n_chunks = max(1, -(-total // image_cap))
@@ -455,7 +484,8 @@ def detect_core(cloud: CloudArrays, sample_pos: jax.Array,
     # 1-2. Candidates + filters.
     grasps = candidates_stage(cloud, sample_pos, sample_mask, cfg)
     return score_candidates(cloud, grasps, sample_pos, sample_mask, params,
-                            key, cfg, image_cap, scores_only)
+                            key, cfg, image_cap, scores_only,
+                            canonical=True)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -585,6 +615,12 @@ class GraspDetector:
         changes = {}
         if self.cfg.search_neighbors_cap > n:
             changes["search_neighbors_cap"] = n
+        elif self.cfg.search_neighbors_cap < n <= self.cfg.search_identity_max:
+            # Mid-size clouds: identity search neighborhoods (whole cloud +
+            # in-radius mask) are both sort-free and UNCAPPED — the
+            # reference's exact kd-tree radiusSearch semantics
+            # (hand_search.cpp:29-31) with no nearest-K truncation at all.
+            changes["search_neighbors_cap"] = n
         # Image neighborhoods: when the cloud is close to (or under) the cap,
         # covering it exactly is cheaper than the nearest-K truncation sort
         # and drops no in-radius point the reference would keep.
@@ -681,7 +717,8 @@ class GraspDetector:
 
         t = time.time()
         nn_idx, nn_valid, spts, svalid, sid_map = _sync(_descriptor_inputs(
-            cloud, grasps, sample_pos, sample_mask, key, cfg))
+            cloud, grasps, sample_pos, sample_mask, key, cfg,
+            canonical=True))
         live_chunks = max(1, -(-n_valid // cap)) if n_valid else 1
         chunk_images = []
         for ci in range(live_chunks):

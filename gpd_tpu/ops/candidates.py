@@ -296,8 +296,12 @@ def _search_kernel(points, normals, pmask, sample_pos, frames, frame_valid,
             rel = points[None, :, :] - spos_b[:, None, :]
             nrm = jnp.broadcast_to(normals[None, :, :], rel.shape)
         else:
+            # exact=True: approx_min_k recall < 1 here could silently drop
+            # in-radius collision/contact points from the finger tests
+            # (the reference's kd-tree search is uncapped and exact,
+            # hand_search.cpp:29-31).
             idx, nvalid = radius_neighbors(spos_b, fval_b, points, pmask,
-                                           radius=radius, k=k)
+                                           radius=radius, k=k, exact=True)
             rel = points[idx] - spos_b[:, None, :]
             nrm = normals[idx]
         return _eval_orientations(rel, nrm, nvalid, frames_b, rfix, params)
@@ -411,8 +415,10 @@ def _reevaluate_kernel(points, normals, pmask, g_sample, g_R, g_top, g_mid,
     """HandSearch::reevaluateHypotheses (hand_search.cpp:66-134,190-228):
     re-check stored grasps against a (ground-truth) cloud at their stored
     finger placement index and stored top depth."""
+    # exact=True: ground-truth labeling must see every in-radius point
+    # (mesh clouds are dense; a dropped contact point flips a label).
     idx, nvalid = radius_neighbors(g_sample, g_valid, points, pmask,
-                                   radius=radius, k=k)
+                                   radius=radius, k=k, exact=True)
     rel = points[idx] - g_sample[:, None, :]
     nrm = normals[idx]
     pts = jnp.einsum("gkj,gji->gki", rel, g_R, precision=jax.lax.Precision.HIGHEST)

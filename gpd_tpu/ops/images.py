@@ -214,7 +214,8 @@ def shadow_length_of(image: ImageGeometry) -> float:
 
 @functools.partial(jax.jit, static_argnames=("n_sp", "v_cap"))
 def compute_shadows(key, nn_pts, nn_valid, nn_cam, view_points,
-                    shadow_length, n_sp: int, v_cap: int):
+                    shadow_length, n_sp: int, v_cap: int,
+                    sample_uid=None):
     """Per-sample occluded-region point sets (HandSet::calculateShadow,
     hand_set.cpp:118-233).
 
@@ -225,11 +226,18 @@ def compute_shadows(key, nn_pts, nn_valid, nn_cam, view_points,
       view_points: (V, 3) camera positions.
       n_sp: shadow points cast per cloud point.
       v_cap: output cap on unique shadow voxels per sample.
+      sample_uid: optional (S,) int32 stable per-sample ids. Per-sample
+        randomness is keyed on fold_in(key, uid) rather than the row index,
+        so results are invariant to how callers permute or block the sample
+        axis (the active-first compaction path). Defaults to arange(S).
 
     Returns:
       (shadow_pts (S, v_cap, 3), shadow_valid (S, v_cap)).
     """
     S, K, _ = nn_pts.shape
+    if sample_uid is None:
+        sample_uid = jnp.arange(S, dtype=jnp.int32)
+    row_keys = jax.vmap(jax.random.fold_in, (None, 0))(key, sample_uid)
     V = view_points.shape[0]
     w = nn_valid.astype(jnp.float32)
     cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
@@ -255,11 +263,13 @@ def compute_shadows(key, nn_pts, nn_valid, nn_cam, view_points,
     base = jnp.clip(jnp.trunc((pmin - shadow_length) * inv_vox),
                     -2.0 ** 30, 2.0 ** 30).astype(jnp.int32) - 2     # (S, 3)
 
-    def cam_voxels(c, subkey):
+    def cam_voxels(c):
         vec = center - view_points[c][None, :]                       # (S, 3)
         vec = shadow_length * vec / jnp.maximum(
             jnp.linalg.norm(vec, axis=1, keepdims=True), 1e-12)
-        u = jax.random.uniform(subkey, (S, K, n_sp))
+        u = jax.vmap(
+            lambda rk: jax.random.uniform(jax.random.fold_in(rk, c),
+                                          (K, n_sp)))(row_keys)
         q = nn_pts[:, :, None, :] + u[..., None] * vec[:, None, None, :]
         vox = jnp.trunc(q * inv_vox).astype(jnp.int32)               # C++ cast<int>
         rel = vox - base[:, None, None, :]
@@ -272,8 +282,7 @@ def compute_shadows(key, nn_pts, nn_valid, nn_cam, view_points,
         key_ = jnp.where(nn_valid[:, :, None], key_, jnp.int32(2 ** 30))
         return key_.reshape(S, K * n_sp)
 
-    keys = jax.random.split(key, V)
-    cam0 = jnp.sort(cam_voxels(0, keys[0]), axis=1)                  # (S, K*n_sp)
+    cam0 = jnp.sort(cam_voxels(0), axis=1)                  # (S, K*n_sp)
     uniq = jnp.concatenate(
         [jnp.ones((S, 1), bool), cam0[:, 1:] != cam0[:, :-1]], axis=1)
     valid = uniq & (cam0 < 2 ** 30) & cam_seen[:, 0:1]
@@ -281,7 +290,7 @@ def compute_shadows(key, nn_pts, nn_valid, nn_cam, view_points,
     # Intersect with every other camera that sees the neighborhood
     # (hand_set.cpp:168-176).
     for c in range(1, V):
-        oc = jnp.sort(cam_voxels(c, keys[c]), axis=1)
+        oc = jnp.sort(cam_voxels(c), axis=1)
         pos = jax.vmap(jnp.searchsorted)(oc, cam0)
         pos = jnp.clip(pos, 0, oc.shape[1] - 1)
         member = jnp.take_along_axis(oc, pos, axis=1) == cam0
@@ -309,8 +318,10 @@ def compute_shadows(key, nn_pts, nn_valid, nn_cam, view_points,
 
     # Voxels -> points with shared-scalar N(0,1)*0.3*voxel jitter
     # (hand_set.cpp:187-206: same scalar for all 3 coords of a voxel).
-    jkey = jax.random.fold_in(key, 7)
-    jit = jax.random.normal(jkey, (S, v_cap, 1)) * (0.3 * SHADOW_VOXEL)
+    jit = jax.vmap(
+        lambda rk: jax.random.normal(jax.random.fold_in(rk, 7),
+                                     (v_cap, 1)))(row_keys) \
+        * (0.3 * SHADOW_VOXEL)
     pts = vox * SHADOW_VOXEL + jit
     return pts, validc
 
@@ -450,7 +461,11 @@ def _raster_multiproj_shared(unit, inside, absn, shadow_unit, shadow_inside,
         P2: rows w, cols u, depth v
     so P0+P1 share their column one-hot and 4 of 5 value channels (the
     merged-kron two-output kernel), while P2 runs the single kernel.
-    Produces channels bit-equivalent to the generic per-projection loop."""
+    Channels are equivalent to the generic per-projection loop up to bf16
+    MXU rounding of the value sums (the merged kernel contracts at
+    Precision.DEFAULT; counts are exact at any precision, and the value
+    delta is sub-uint8-step after the minmax normalize —
+    tools/check_raster_tpu.py gates frac(|diff|>1) < 5e-3 on chip)."""
     G = unit.shape[0]
     sent = jnp.int32(size)
 

@@ -25,19 +25,39 @@ import jax.numpy as jnp
 
 from gpd_tpu.core.types import CloudArrays
 from gpd_tpu.ops.eigh3 import eigh3_sym
-from gpd_tpu.ops.neighbors import radius_neighbors
+from gpd_tpu.ops.neighbors import radius_moments, radius_neighbors
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _normals_kernel(points, mask, cam_source, view_points, radius, k: int):
-    idx, valid = radius_neighbors(points, mask, points, mask,
-                                  radius=radius, k=k)
-    nn = points[idx]                                    # (N, K, 3)
-    w = valid.astype(points.dtype)
-    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
-    mean = jnp.sum(nn * w[..., None], axis=1) / cnt[:, None]
-    d = (nn - mean[:, None, :]) * w[..., None]
-    cov = jnp.einsum("nki,nkj->nij", d, d, precision=jax.lax.Precision.HIGHEST) / cnt[:, None, None]
+    # Neighborhood covariances as masked moment matmuls (ops/neighbors.py
+    # radius_moments): exact and UNCAPPED over all in-radius points — the
+    # reference's kd-tree radiusSearch semantics (cloud.cpp:497-535) — with
+    # no per-neighbor gather and no nearest-K truncation (``k`` unused).
+    # Points are centered on the cloud centroid first: the raw-moment
+    # identity cov = E[pp^T] - mu mu^T cancels catastrophically in f32 when
+    # |p| >> neighborhood radius, and centering bounds |p| by the cloud
+    # extent.
+    del k
+    w_all = mask.astype(points.dtype)
+    centroid = jnp.sum(points * w_all[:, None], axis=0) / \
+        jnp.maximum(jnp.sum(w_all), 1.0)
+    p = jnp.where(mask[:, None], points - centroid[None, :], 1.0e6)
+    feats = jnp.stack([
+        p[:, 0] * p[:, 0], p[:, 1] * p[:, 1], p[:, 2] * p[:, 2],
+        p[:, 0] * p[:, 1], p[:, 0] * p[:, 2], p[:, 1] * p[:, 2],
+        p[:, 0], p[:, 1], p[:, 2],
+    ], axis=1)                                          # (N, 9)
+    sums, counts = radius_moments(p, mask, p, mask, feats, radius)
+    cnt = jnp.maximum(counts, 1.0)
+    mean = sums[:, 6:9] / cnt[:, None]                  # (N, 3)
+    xx, yy, zz, xy, xz, yz = (sums[:, i] / cnt for i in range(6))
+    m2 = jnp.stack([
+        jnp.stack([xx, xy, xz], axis=-1),
+        jnp.stack([xy, yy, yz], axis=-1),
+        jnp.stack([xz, yz, zz], axis=-1),
+    ], axis=-2)                                         # (N, 3, 3)
+    cov = m2 - mean[:, :, None] * mean[:, None, :]
     _, V = eigh3_sym(cov)
     normal = V[..., :, 0]                               # smallest eigenvalue
 
@@ -55,7 +75,7 @@ def _normals_kernel(points, mask, cam_source, view_points, radius, k: int):
     flip = jnp.sum(normal * to_vp, axis=1) < 0.0
     normal = jnp.where(flip[:, None], -normal, normal)
 
-    has_nbr = jnp.any(valid, axis=1)
+    has_nbr = counts > 0
     normal = jnp.where((mask & has_nbr)[:, None], normal, 0.0)
     return normal
 
@@ -96,7 +116,10 @@ def refine_normals(points, normals, mask, k: int = 10):
     """Normal refinement analogous to pcl::NormalRefinement
     (reference: cloud.cpp:176-204): one smoothing iteration averaging each
     normal with its k nearest neighbors' normals (sign-aligned)."""
-    idx, valid = radius_neighbors(points, mask, points, mask, radius=1e5, k=k)
+    # exact=True: refinement is a one-time preprocessing pass; identical
+    # neighbor sets across backends.
+    idx, valid = radius_neighbors(points, mask, points, mask, radius=1e5,
+                                  k=k, exact=True)
     nn = normals[idx]
     sign = jnp.where(jnp.sum(nn * normals[:, None, :], axis=-1) < 0, -1.0, 1.0)
     nn = nn * sign[..., None] * valid[..., None]

@@ -101,8 +101,10 @@ def voxelize(cloud: CloudArrays, cell_size: float) -> CloudArrays:
 @functools.partial(jax.jit, static_argnames=("mean_k", "k_cap"))
 def _outlier_kernel(points, mask, mean_k: int, stddev_mult, k_cap: int):
     # Distances to the mean_k nearest neighbors (excluding self).
+    # exact=True: one-time preprocessing cost; keeps the outlier set
+    # identical across backends.
     idx, valid = radius_neighbors(points, mask, points, mask,
-                                  radius=1e5, k=k_cap)
+                                  radius=1e5, k=k_cap, exact=True)
     nn = points[idx]
     d = jnp.linalg.norm(nn - points[:, None, :], axis=-1)
     # First entry is the point itself (d=0); use entries 1..mean_k.

@@ -133,9 +133,11 @@ def score_sharded_raw(cloud: CloudArrays, grasps: Grasps, sample_pos,
     the distributed pruneGraspCandidates step of the CEM loop."""
     def local(cloud_l, g_l, spos_l, smask_l, params_l, key_l):
         me = jax.lax.axis_index(axis)
+        # Per-shard batches keep the local hand search's sample-major
+        # layout, so the scatter-free activity path is safe.
         g, _ = score_candidates(cloud_l, g_l, spos_l, smask_l, params_l,
                                 jax.random.fold_in(key_l, me), cfg,
-                                image_cap, scores_only=True)
+                                image_cap, scores_only=True, canonical=True)
         return g
 
     return jax.shard_map(

@@ -365,6 +365,50 @@ class TestStagedDetect:
         np.testing.assert_allclose(np.asarray(ga.score)[va],
                                    np.asarray(gb.score)[vb], atol=1e-5)
 
+    def test_active_sample_blocked_imaging_matches_unblocked_15ch(self, rng):
+        """15-channel variant of the blocked-vs-unblocked parity: shadow
+        jitter is keyed by ORIGINAL sample index (compute_shadows
+        sample_uid), so results must be invariant to the active-first
+        permutation and blocking — not just the shadow-free channels."""
+        import gpd_tpu.detector as det_mod
+        from gpd_tpu.config import ImageGeometry
+
+        n = 2000
+        theta = rng.uniform(0, 2 * np.pi, n)
+        pts = np.stack([0.03 * np.cos(theta), 0.03 * np.sin(theta),
+                        rng.uniform(-0.3, 0.3, n)], 1).astype(np.float32)
+        nrm = np.stack([np.cos(theta), np.sin(theta), np.zeros(n)],
+                       1).astype(np.float32)
+        cloud = CloudArrays.from_numpy(pts, normals=nrm)
+        S = 600
+        cfg = small_cfg(num_samples=S,
+                        image_geometry=ImageGeometry(num_channels=15))
+        det = GraspDetector(cfg)
+        spos = jnp.asarray(pts[:S])
+        smask = jnp.ones(S, bool)
+        key = jax.random.PRNGKey(2)
+        assert S > det_mod._SAMPLE_BLOCK
+        ga, _ = detect_core(cloud, spos, smask, det.params, key, cfg, 256,
+                            scores_only=True)
+        old = det_mod._SAMPLE_BLOCK
+        det_mod._SAMPLE_BLOCK = 4096
+        det_mod._descriptor_inputs.clear_cache()
+        det_mod.score_candidates.clear_cache()
+        det_mod.detect_core.clear_cache()
+        try:
+            gb, _ = detect_core(cloud, spos, smask, det.params, key, cfg,
+                                256, scores_only=True)
+        finally:
+            det_mod._SAMPLE_BLOCK = old
+            det_mod._descriptor_inputs.clear_cache()
+            det_mod.score_candidates.clear_cache()
+            det_mod.detect_core.clear_cache()
+        va, vb = np.asarray(ga.valid), np.asarray(gb.valid)
+        np.testing.assert_array_equal(va, vb)
+        assert va.sum() > 0
+        np.testing.assert_allclose(np.asarray(ga.score)[va],
+                                   np.asarray(gb.score)[vb], atol=1e-5)
+
     def test_image_neighbors_cap_truncation_dense_scene(self, rng):
         """image_neighbors_cap (nearest-K descriptor neighborhoods) on a
         dense 15-channel scene must reproduce the uncapped images: the image

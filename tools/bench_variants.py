@@ -36,25 +36,36 @@ def main():
     from gpd_tpu.detector import GraspDetector, detect_core, select_and_cluster
     from gpd_tpu.io.pcd import load_pcd
 
+    workloads = []
     cfg0 = load_config("/root/reference/cfg/eigen_params.cfg")
     cfg0 = dataclasses.replace(cfg0, num_samples=500, min_inliers=0,
                                num_selected=100)
-    det = GraspDetector(cfg0)
-    pts = load_pcd("/root/reference/tutorials/krylon.pcd")
-    cloud = det.preprocess_cloud(pts, view_points=np.zeros((1, 3), np.float32))
-    cfg = det.effective_config(cloud)
-    key = jax.random.PRNGKey(0)
-    spos, smask = det.sample_cloud(cloud, key)
-    n_cand = spos.shape[0] * cfg.num_orientations * len(cfg.hand_axes)
+    workloads.append(("krylon", "/root/reference/tutorials/krylon.pcd",
+                      cfg0, 10))
+    cfgm = dataclasses.replace(cfg0, num_samples=5000, min_inliers=1,
+                               sample_above_plane=True)
+    workloads.append(("table_mug", "/root/reference/tutorials/table_mug.pcd",
+                      cfgm, 5))
 
-    for cap in (512, 1024, 2048, 4096):
-        def step(k, cap=cap):
-            g, _ = detect_core(cloud, spos, smask, det.params, k, cfg, cap,
-                               scores_only=True)
-            return select_and_cluster(g, cfg)
-        t = timeit(lambda: step(key))
-        print(f"cap={cap}: {t*1e3:8.2f} ms  -> {n_cand/t:7.0f} cand/s",
-              flush=True)
+    for name, pcd, wcfg, iters in workloads:
+        det = GraspDetector(wcfg)
+        pts = load_pcd(pcd)
+        cloud = det.preprocess_cloud(pts,
+                                     view_points=np.zeros((1, 3), np.float32))
+        cfg = det.effective_config(cloud)
+        key = jax.random.PRNGKey(0)
+        spos, smask = det.sample_cloud(cloud, key)
+        sync((spos, smask))
+        n_cand = spos.shape[0] * cfg.num_orientations * len(cfg.hand_axes)
+
+        for cap in (512, 1024, 2048, 4096):
+            def step(k, cap=cap):
+                g, _ = detect_core(cloud, spos, smask, det.params, k, cfg,
+                                   cap, scores_only=True)
+                return select_and_cluster(g, cfg)
+            t = timeit(lambda: step(key), n=iters)
+            print(f"{name} cap={cap}: {t*1e3:8.2f} ms  -> "
+                  f"{n_cand/t:7.0f} cand/s", flush=True)
 
 
 if __name__ == "__main__":
