@@ -54,7 +54,10 @@ def main(argv=None):
         print(f"Loaded surface normals from file: {argv[2]}")
 
     vp = np.asarray(cfg.camera_position, np.float32).reshape(1, 3)
-    cloud = detector.preprocess_cloud(points, view_points=vp, normals=normals)
+    # "serve": octave capacity buckets — repeat invocations on different-
+    # sized clouds hit the persistent compile cache instead of recompiling.
+    cloud = detector.preprocess_cloud(points, view_points=vp, normals=normals,
+                                      capacity="serve")
     print(f"Processed cloud: {int(np.asarray(cloud.mask).sum())} points.")
 
     grasps = detector.detect(cloud, staged=staged)

@@ -26,7 +26,8 @@ def main(argv=None):
     detector = GraspDetector(cfg)
     points = load_cloud_file(argv[1])
     vp = np.asarray(cfg.camera_position, np.float32).reshape(1, 3)
-    cloud = detector.preprocess_cloud(points, view_points=vp)
+    cloud = detector.preprocess_cloud(points, view_points=vp,
+                                      capacity="serve")
     spos, smask = detector.sample_cloud(cloud, jax.random.PRNGKey(0))
     grasps = cand.search_hands(cloud, spos, smask, cfg)
     n = int(np.asarray(grasps.valid).sum())

@@ -38,13 +38,14 @@ def main(argv=None):
         for obj in objects:
             mesh_path = os.path.join(gen_cfg.data_root, obj, "gt_cloud.pcd")
             mesh_pts = load_cloud_file(mesh_path)
-            mesh = det.preprocess_cloud(mesh_pts)
+            mesh = det.preprocess_cloud(mesh_pts, capacity="serve")
             for view in range(gen_cfg.num_views_per_object):
                 vp = os.path.join(gen_cfg.data_root, obj,
                                   f"view_{view:02d}.pcd")
                 if not os.path.exists(vp):
                     continue
-                view_cloud = det.preprocess_cloud(load_cloud_file(vp))
+                view_cloud = det.preprocess_cloud(load_cloud_file(vp),
+                                                  capacity="serve")
                 yield obj, view, view_cloud, mesh
 
     C = cfg.image_geometry.num_channels

@@ -87,6 +87,24 @@ def _sync(x):
     return x
 
 
+_SERVE_BUCKETS = (2048, 4096, 8192, 16384, 32768, 65536, 131072)
+
+
+def serve_capacity(n_points: int) -> int:
+    """Coarse power-of-two capacity bucket for SERVING entry points
+    (detect_file / the CLI apps): a robot loop sees a different cloud size
+    every frame, and the snug `_next_size` buckets (~12.5% apart) would
+    recompile the whole fused pipeline at each boundary crossing (tens of
+    seconds per compile on remote backends). One bucket per octave bounds
+    warm-up to a handful of compiles for the lifetime of the process, at a
+    bounded padding cost. Batch jobs that control their inputs should keep
+    pinning exact capacities instead (tools/gen_dataset.py)."""
+    for b in _SERVE_BUCKETS:
+        if n_points <= b:
+            return b
+    return _next_size(n_points)
+
+
 def _compact_hands(grasps: Grasps, cap: int) -> Grasps:
     """Device-side compaction: bring valid hands to the front (stable), keep
     ``cap`` slots. Mirrors the reference's createImageList compaction
@@ -556,14 +574,19 @@ class GraspDetector:
                          cam_source: Optional[np.ndarray] = None,
                          normals: Optional[np.ndarray] = None,
                          key: Optional[jax.Array] = None,
-                         capacity: Optional[int] = None) -> CloudArrays:
+                         capacity=None) -> CloudArrays:
         """removeNans -> filterWorkspace -> voxelize -> normals(+reverse)
         -> [refine] (candidates_generator.cpp:14-37). Returns a compacted
         CloudArrays ready for detection.
 
         ``capacity`` pins the padded size of every stage (batch jobs over
-        many clouds compile each kernel once instead of per size bucket)."""
+        many clouds compile each kernel once instead of per size bucket).
+        ``capacity="serve"`` buckets each stage's padded size per octave
+        (serve_capacity): repeat calls with different-sized clouds reuse
+        the compiled pipeline instead of recompiling at every ~12.5%
+        size-bucket boundary."""
         cfg = self.cfg
+        serve = capacity == "serve"
         points = np.asarray(points, np.float32).reshape(-1, 3)
         finite = np.isfinite(points).all(axis=1)
         points = points[finite]
@@ -572,15 +595,22 @@ class GraspDetector:
         if cam_source is not None:
             cam_source = np.asarray(cam_source)[..., finite]
 
-        cloud = CloudArrays.from_numpy(points, view_points=view_points,
-                                       cam_source=cam_source, normals=normals,
-                                       capacity=capacity)
+        def _compact(c):
+            if serve:
+                n = int(np.asarray(c.mask).sum())
+                return c.compact_host(serve_capacity(n))
+            return c.compact_host(capacity)
+
+        cloud = CloudArrays.from_numpy(
+            points, view_points=view_points, cam_source=cam_source,
+            normals=normals,
+            capacity=serve_capacity(len(points)) if serve else capacity)
         cloud = _prep_filter_voxel(cloud, tuple(cfg.workspace),
                                    cfg.voxel_size, cfg.voxelize)
-        cloud = cloud.compact_host(capacity)
+        cloud = _compact(cloud)
         if cfg.remove_outliers:
             cloud = pp.remove_statistical_outliers(cloud)
-            cloud = cloud.compact_host(capacity)
+            cloud = _compact(cloud)
         cloud = _prep_normals(
             cloud, cfg.normals_radius, cfg.normals_neighbors_cap,
             do_estimate=(normals is None or cfg.voxelize),
@@ -756,9 +786,12 @@ class GraspDetector:
 
     def detect_file(self, pcd_path: str, key=None, verbose=True) -> Grasps:
         """CONFIG+PCD -> grasps (the detect_grasps app path,
-        src/detect_grasps.cpp)."""
+        src/detect_grasps.cpp). Capacity is bucketed per octave
+        (serve_capacity) so repeat calls with different-sized clouds reuse
+        the compiled pipeline."""
         from gpd_tpu.io.pcd import load_cloud_file
         points = load_cloud_file(pcd_path)
         vp = np.asarray(self.cfg.camera_position, np.float32).reshape(1, 3)
-        cloud = self.preprocess_cloud(points, view_points=vp)
+        cloud = self.preprocess_cloud(points, view_points=vp,
+                                      capacity="serve")
         return self.detect(cloud, key=key, verbose=verbose)

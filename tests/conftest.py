@@ -36,3 +36,9 @@ TABLE_MUG = "/root/reference/tutorials/table_mug.pcd"
 def krylon_points():
     from gpd_tpu.io.pcd import load_pcd
     return load_pcd(KRYLON)
+
+
+@pytest.fixture
+def table_mug_points():
+    from gpd_tpu.io.pcd import load_pcd
+    return load_pcd(TABLE_MUG)

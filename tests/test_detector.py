@@ -365,6 +365,33 @@ class TestStagedDetect:
         np.testing.assert_allclose(np.asarray(ga.score)[va],
                                    np.asarray(gb.score)[vb], atol=1e-5)
 
+    def test_serve_capacity_warm_path(self, rng):
+        """Different-sized clouds in the same serve octave must reuse every
+        compiled program: the second detect adds ZERO jit-cache entries
+        (the warmup-bounding contract of capacity='serve')."""
+        import gpd_tpu.detector as det_mod
+
+        cfg = small_cfg(num_samples=32)
+        det = GraspDetector(cfg)
+
+        def make(n):
+            theta = rng.uniform(0, 2 * np.pi, n)
+            pts = np.stack([0.05 * np.cos(theta), 0.05 * np.sin(theta),
+                            rng.uniform(-0.3, 0.3, n)], 1)
+            return pts.astype(np.float32)
+
+        c1 = det.preprocess_cloud(make(2300), capacity="serve")
+        det.detect(c1, verbose=False)
+        probes = (det_mod.detect_core, det_mod.candidates_stage,
+                  det_mod.score_candidates, det_mod.select_and_cluster,
+                  det_mod._prep_filter_voxel, det_mod._prep_normals)
+        sizes = [p._cache_size() for p in probes]
+
+        c2 = det.preprocess_cloud(make(2600), capacity="serve")
+        assert c2.capacity == c1.capacity
+        det.detect(c2, verbose=False)
+        assert [p._cache_size() for p in probes] == sizes
+
     def test_active_sample_blocked_imaging_matches_unblocked_15ch(self, rng):
         """15-channel variant of the blocked-vs-unblocked parity: shadow
         jitter is keyed by ORIGINAL sample index (compute_shadows

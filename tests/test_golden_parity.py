@@ -1,17 +1,26 @@
-"""End-to-end golden parity on the krylon.pcd fixture (SURVEY.md §4,
-BASELINE.md): at a fixed 100-sample set, the TPU candidate pipeline
+"""End-to-end golden parity on the reference fixtures (SURVEY.md §4,
+BASELINE.md): at a fixed sample set, the TPU candidate pipeline
 (frames -> hand search -> workspace/aperture filters,
 grasp_detector.cpp:192-258) must match the full-pipeline NumPy oracle
-record for record, and the final top-10 selection must consist of
-oracle-validated candidates. Prints PARITY metrics for the round report."""
+record for record, the final top-10 selection must consist of
+oracle-validated candidates (krylon), and the big-scene clustered
+selection must match the oracle clustering record for record (table_mug).
+Prints PARITY metrics for the round report."""
+
+import dataclasses
+import math
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from gpd_tpu.config import DetectorConfig
-from gpd_tpu.detector import GraspDetector, candidates_stage
+from gpd_tpu.core.types import _next_size
+from gpd_tpu.detector import (GraspDetector, candidates_stage, detect_core,
+                              select_and_cluster)
 from gpd_tpu.ops.frames import estimate_frames
+from gpd_tpu import select as sel
 
 from oracle import oracle_local_frame, oracle_pipeline_candidates
 
@@ -156,3 +165,119 @@ class TestKrylonGoldenParity:
         print(f"\nPARITY top-10: {n_match}/{len(top_pos)} "
               f"({100 * rate:.0f}%) of selected grasps oracle-validated")
         assert rate >= 0.9
+
+
+def _oracle_clusters(pos, axis, score, min_inliers):
+    """Transcription of clustering.cpp:5-105 (remove_inliers=false, the
+    detector path, grasp_detector.cpp:286-295)."""
+    n = len(pos)
+    out = []
+    for i in range(n):
+        inl = []
+        for j in range(n):
+            if i == j:
+                continue
+            if abs(axis[i] @ axis[j]) <= math.cos(12 * math.pi / 180):
+                continue
+            d = pos[i] - pos[j]
+            if np.linalg.norm(d) > 0.05:
+                continue
+            proj = (np.eye(3) - np.outer(axis[i], axis[i])) @ d
+            if np.linalg.norm(proj) > 0.005:
+                continue
+            inl.append(j)
+        if len(inl) >= min_inliers:
+            mean_pos = pos[inl].mean(0)
+            m = score[inl].mean()
+            sd = score[inl].std()
+            conf = m - 2.576 * sd / math.sqrt(len(inl))
+            out.append((i, mean_pos, conf, len(inl)))
+    return out
+
+
+class TestTableMugGoldenParity:
+    """Big-scene full-pipeline parity (VERDICT r3 #7): table_mug at a fixed
+    sample set with clustering ON — the selected-then-clustered output must
+    match the NumPy oracle clustering (clustering.cpp:5-105) record for
+    record, through the real scored candidate batch."""
+
+    def test_clustered_selection_matches_oracle(self, table_mug_points):
+        S_m = 150
+        cfg0 = DetectorConfig(num_samples=S_m, min_inliers=1,
+                              num_selected=50)
+        det = GraspDetector(cfg0)
+        cloud = det.preprocess_cloud(
+            table_mug_points, view_points=np.zeros((1, 3), np.float32))
+        cfg = det.effective_config(cloud)
+        det.cfg = cfg
+        spos, smask = _fixed_samples(cloud, n=S_m, seed=3)
+        key = jax.random.PRNGKey(0)
+        cap = det.image_cap(S_m)
+
+        g, _ = detect_core(cloud, spos, smask, det.params, key, cfg, cap,
+                           scores_only=True)
+        out = select_and_cluster(g, cfg)
+
+        # Oracle side: replicate the selection slice select_and_cluster
+        # feeds the clusterer (top num_selected, score-descending), then
+        # cluster it with the literal transcription.
+        gsel, _ = sel.select_top_k(g, cfg.num_selected)
+        k = min(gsel.capacity, _next_size(cfg.num_selected, 64))
+        v = np.asarray(gsel.valid)[:k]
+        pos = np.asarray(gsel.position)[:k][v].astype(np.float64)
+        axis = np.asarray(gsel.axis)[:k][v].astype(np.float64)
+        score = np.asarray(gsel.score)[:k][v].astype(np.float64)
+        assert v.sum() >= 20, "scene must produce a real selected set"
+
+        ref = _oracle_clusters(pos, axis, score, cfg.min_inliers)
+        n_clusters = len(ref)
+
+        ov = np.asarray(out.valid)
+        opos = np.asarray(out.position)[ov]
+        oscore = np.asarray(out.score)[ov]
+        if n_clusters > 3:
+            # Clusters only (no fallback): record-for-record match.
+            assert ov.sum() == n_clusters
+            n_match = 0
+            for _, mp, conf, _n in ref:
+                d = np.linalg.norm(opos - mp, axis=1)
+                j = int(np.argmin(d))
+                if d[j] < 1e-4 and abs(oscore[j] - conf) < 1e-3:
+                    n_match += 1
+            print(f"\nPARITY table_mug clusters: {n_match}/{n_clusters} "
+                  f"cluster centers+scores match oracle")
+            assert n_match == n_clusters
+        else:
+            # <=3 clusters: the reference appends the unclustered selected
+            # hands (grasp_detector.cpp:286-295 fallback).
+            assert ov.sum() == n_clusters + int(v.sum())
+            print(f"\nPARITY table_mug clusters: fallback path "
+                  f"({n_clusters} clusters + {int(v.sum())} selected)")
+
+
+@pytest.mark.slow
+def test_bench_config_table_mug_cpu(table_mug_points):
+    """The EXACT table_mug bench configuration (bench.py workload 2:
+    eigen_params, 5000 samples, clustering on, sample_above_plane) run
+    end-to-end on the 8-device CPU mesh — catches shape/capacity
+    regressions in the sample-blocked search and blocked descriptor-input
+    paths before they reach the chip (VERDICT r3 #8). ~90 s on 2 CPU
+    cores."""
+    from gpd_tpu.config import load_config
+
+    cfg = load_config("/root/reference/cfg/eigen_params.cfg")
+    cfg = dataclasses.replace(cfg, num_samples=5000, min_inliers=1,
+                              num_selected=100, sample_above_plane=True)
+    det = GraspDetector(cfg)
+    cloud = det.preprocess_cloud(
+        table_mug_points, view_points=np.zeros((1, 3), np.float32))
+    det.cfg = det.effective_config(cloud)
+    # The bench config must route through both blocked paths.
+    from gpd_tpu import detector as det_mod
+    assert cfg.num_samples > det_mod._SAMPLE_BLOCK
+    out = det.detect(cloud, key=jax.random.PRNGKey(0), verbose=False)
+    v = np.asarray(out.valid)
+    assert v.sum() > 0
+    s = np.asarray(out.score)[v]
+    assert np.all(np.diff(s) <= 1e-6)          # score-descending
+    assert np.isfinite(np.asarray(out.position)[v]).all()

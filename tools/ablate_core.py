@@ -108,14 +108,14 @@ def main():
                         tick, jnp.uint8)
 
     def stub_shadows(key, nn_pts, nn_valid, nn_cam, view_points,
-                     shadow_length, n_sp, v_cap):
+                     shadow_length, n_sp, v_cap, sample_uid=None):
         S = nn_pts.shape[0]
         v_cap = min(v_cap, nn_pts.shape[1] * n_sp)
         return (jnp.zeros((S, v_cap, 3), jnp.float32),
                 jnp.zeros((S, v_cap), bool))
 
     def nosort_shadows(key, nn_pts, nn_valid, nn_cam, view_points,
-                       shadow_length, n_sp, v_cap):
+                       shadow_length, n_sp, v_cap, sample_uid=None):
         # full ray casting + voxelization, but no dedup sort/top_k:
         # isolates the sort cost inside compute_shadows
         S, K, _ = nn_pts.shape
@@ -150,7 +150,7 @@ def main():
     real_rn = cand_mod.radius_neighbors
 
     def stub_radius_neighbors(query, query_mask, points, points_mask,
-                              radius, k, block=1024):
+                              radius, k, block=1024, exact=False):
         # identity-ish neighborhoods: removes the per-sample top_k sort and
         # keeps the gather + eval costs (indices still exercise the gather)
         q = query.shape[0]
