@@ -220,13 +220,18 @@ class DetectorConfig:
                                       # search ball; nearest-K covers it)
     normals_neighbors_cap: int = 128  # K for normal estimation
     shadow_voxel_cap: int = 2048     # max unique shadow voxels per sample
-    shadow_source_cap: int = 496     # max neighborhood points casting shadows
-                                     # (occupancy saturates fast — ~500 sources
-                                     # x ~33 ray points >> the 2048-voxel cap —
-                                     # and the dedup sort cost is linear in
-                                     # sources; 496*33 = 16368 keeps the sort
-                                     # width under 16384, which measures ~30%
-                                     # cheaper than 16896 on the TPU)
+    shadow_source_cap: int = 248     # max neighborhood points casting shadows.
+                                     # Occupancy saturates fast: 248 sources
+                                     # x 33 ray points = 8184 candidate voxels
+                                     # of which ~3-5k are unique on the bench
+                                     # scenes — still well above the
+                                     # 2048-voxel cap, so the kept subset has
+                                     # the same size and (hash-uniform) spread
+                                     # as with more sources. The dedup sort is
+                                     # the single most expensive part of the
+                                     # 15ch descriptor stage and its cost is
+                                     # superlinear in width (bitonic): 8184
+                                     # wide is >2x cheaper than r3's 16368.
 
     @property
     def hand_search_radius(self) -> float:
