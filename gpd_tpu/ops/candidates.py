@@ -409,12 +409,36 @@ def search_hands_with_frames(cloud, sample_pos, frames, fvalid,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("params", "k"))
+@functools.partial(jax.jit, static_argnames=("params", "k", "block"))
 def _reevaluate_kernel(points, normals, pmask, g_sample, g_R, g_top, g_mid,
-                       g_valid, radius, params: SearchParams, k: int):
+                       g_valid, radius, params: SearchParams, k: int,
+                       block: int = 512):
     """HandSearch::reevaluateHypotheses (hand_search.cpp:66-134,190-228):
     re-check stored grasps against a (ground-truth) cloud at their stored
-    finger placement index and stored top depth."""
+    finger placement index and stored top depth. Scans over grasp blocks so
+    the (B, K) neighborhood working set stays bounded for any mesh size /
+    neighbor cap (dense scene meshes at K ~ 12k OOM'd unblocked)."""
+    G = g_sample.shape[0]
+    if G > block:
+        nblk = -(-G // block)
+        pad = nblk * block - G
+
+        def p(a, cv=0):
+            widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+            return jnp.pad(a, widths, constant_values=cv).reshape(
+                (nblk, block) + a.shape[1:])
+
+        def body(carry, blk):
+            s, R, top, mid, valid = blk
+            return carry, _reevaluate_kernel(
+                points, normals, pmask, s, R, top, mid, valid, radius,
+                params, k, block)
+
+        _, (full, half) = jax.lax.scan(
+            body, None, (p(g_sample, 1e6), p(g_R), p(g_top), p(g_mid),
+                         p(g_valid, False)))
+        return full.reshape(-1)[:G], half.reshape(-1)[:G]
+
     # exact=True: ground-truth labeling must see every in-radius point
     # (mesh clouds are dense; a dropped contact point flips a label).
     idx, nvalid = radius_neighbors(g_sample, g_valid, points, pmask,

@@ -89,6 +89,54 @@ class TestTrainedClassifier:
               f"({int(labels.sum())} pos): {auc:.3f}")
         assert auc > 0.75, f"trained classifier AUC {auc:.3f} <= 0.75"
 
+    def test_clutter_scene_auc(self):
+        """Dense-clutter quality (the reference's serving claim regime,
+        README.md:237-244): detect on a two-camera fused capture of a
+        multi-object table scene and rank-score against full-scene
+        antipodal ground truth (table + neighbor collisions label
+        negative). Guards the round-4 clutter/two-camera retraining."""
+        from gpd_tpu.config import load_config
+        from gpd_tpu.core.types import CloudArrays
+        from gpd_tpu.datasets import synthetic as syn
+        from gpd_tpu.detector import GraspDetector, detect_core
+        from gpd_tpu.ops import candidates as cand
+
+        cfg = load_config("/root/reference/cfg/eigen_params.cfg")
+        cfg = dataclasses.replace(cfg, num_samples=120, min_inliers=0,
+                                  weights_file="")
+        det = GraspDetector(cfg)
+
+        # Held-out scenes: seed differs from the training scene stream
+        # (tools/gen_dataset.py uses seed+7 on the training seed).
+        rng = np.random.default_rng(1234)
+        scores, labels = [], []
+        for s in range(2):
+            spts, snrm = syn.make_scene(rng, n_objects=3)
+            mesh = CloudArrays.from_numpy(
+                spts, normals=snrm,
+                view_points=np.zeros((1, 3), np.float32))
+            cams = syn.view_cameras(rng, 2, dist=0.7)
+            vpts, vcam, vps = syn.render_fused_views(rng, spts, snrm, cams,
+                                                     occluded=True)
+            view = det.preprocess_cloud(vpts, view_points=vps,
+                                        cam_source=vcam)
+            ecfg = det.effective_config(view)
+            key = jax.random.PRNGKey(5 + s)
+            spos, smask = det.sample_cloud(view, key)
+            grasps, _ = detect_core(view, spos, smask, det.params, key,
+                                    ecfg, det.image_cap(spos.shape[0]),
+                                    scores_only=True)
+            lab, _ = cand.reevaluate_hypotheses(mesh, grasps, ecfg)
+            n_valid = int(np.asarray(jnp.sum(grasps.valid)))
+            scores.append(np.asarray(grasps.score[:n_valid]))
+            labels.append(np.asarray(lab[:n_valid]))
+        scores = np.concatenate(scores)
+        labels = np.concatenate(labels)
+        auc = _auc(scores, labels)
+        print(f"clutter-scene score/label AUC over {len(labels)} candidates "
+              f"({int(labels.sum())} pos): {auc:.3f}")
+        assert auc > 0.70, f"clutter AUC {auc:.3f} <= 0.70"
+
     def test_blend_vs_mean_score_delta(self, rng):
         """Quantify the normals blend->mean design change as a score delta:
         rebuild each projection's normals channels with the reference's
