@@ -92,12 +92,23 @@ class HDF5ShardWriter:
         try:
             self.h5 = h5py.File(path, "a")
         except OSError:
-            # A crash before the first flush leaves a truncated HDF5
-            # superblock; the journal is the source of truth, and a file
-            # that never flushed has nothing journaled worth keeping. h5py
-            # raises OSError for lock contention / permissions too, so only
-            # recover destructively when the file is actually not-HDF5.
-            if not (os.path.exists(path) and not h5py.is_hdf5(path)):
+            # A crash can leave the file unopenable two ways: truncated
+            # before the first flush (no HDF5 superblock at all), or killed
+            # mid-write with a valid signature but eof < stored_eof. The
+            # journal is the source of truth either way. h5py raises
+            # OSError for lock contention / permissions too, so recover
+            # destructively only when the file is genuinely unreadable:
+            # not-HDF5, or HDF5 that fails even a read-only open.
+            corrupt = False
+            if os.path.exists(path):
+                if not h5py.is_hdf5(path):
+                    corrupt = True
+                else:
+                    try:
+                        h5py.File(path, "r").close()
+                    except OSError:
+                        corrupt = True
+            if not corrupt:
                 raise
             os.remove(path)
             if os.path.exists(self.journal_path):

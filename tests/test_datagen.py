@@ -244,3 +244,55 @@ class TestMultiView:
         T0 = read_pose_hdf5(str(d / "calibration.h5"),
                             f"H_NP{camera}_from_NP{ref}")
         np.testing.assert_allclose(T0, T_cam_from_ref, atol=1e-7)
+
+
+class TestSceneSynthesis:
+    """The round-4 clutter/two-camera training distribution
+    (datasets/synthetic.py make_scene / render_view_occluded /
+    render_fused_views; reference claims: README.md:237-244 dense clutter,
+    data_generator.cpp:617-665 multi-view fusion)."""
+
+    def test_make_scene_geometry(self, rng):
+        from gpd_tpu.datasets import synthetic as syn
+        pts, nrm = syn.make_scene(rng, n_objects=3, table_halfsize=0.2)
+        assert pts.shape == nrm.shape and pts.shape[1] == 3
+        # Everything rests on or above the table plane.
+        assert pts[:, 2].min() >= -1e-6
+        # Table patch present: many points exactly at z=0, predominantly
+        # with +z normals (object bottom faces also rest at z=0).
+        on_table = np.abs(pts[:, 2]) < 1e-6
+        assert on_table.sum() >= 5000
+        tn = nrm[on_table]
+        up = (np.abs(tn[:, :2]) < 1e-6).all(axis=1) & (tn[:, 2] > 0)
+        assert up.mean() > 0.7
+        # Unit normals.
+        np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0,
+                                   atol=1e-5)
+
+    def test_occlusion_culls_hidden_surfaces(self, rng):
+        """A small box directly behind a large box (along the view ray)
+        must be mostly invisible to the occluded renderer but visible to
+        plain backface culling."""
+        from gpd_tpu.datasets import synthetic as syn
+        front, fn = syn.sample_box(rng, (0.2, 0.2, 0.2), 4000)
+        back, bn = syn.sample_box(rng, (0.05, 0.05, 0.05), 2000)
+        back = back + np.array([0, 0, -0.4], np.float32)
+        pts = np.concatenate([front, back])
+        nrm = np.concatenate([fn, bn])
+        cam = np.array([0, 0, 1.0], np.float32)
+        vis_plain = syn.render_view(rng, pts, nrm, cam, dropout=0.0)
+        vis_occl = syn.render_view_occluded(rng, pts, nrm, cam, dropout=0.0)
+        behind_plain = (vis_plain[:, 2] < -0.3).sum()
+        behind_occl = (vis_occl[:, 2] < -0.3).sum()
+        assert behind_plain > 200              # backface culling alone sees it
+        assert behind_occl < behind_plain * 0.3  # z-buffer hides most
+
+    def test_fused_views_camera_sources(self, rng):
+        from gpd_tpu.datasets import synthetic as syn
+        pts, nrm = syn.make_scene(rng, n_objects=2)
+        cams = syn.view_cameras(rng, 2, dist=0.7)
+        vp, cam_src, vps = syn.render_fused_views(rng, pts, nrm, cams)
+        assert vps.shape == (2, 3)
+        assert set(np.unique(cam_src)) <= {1, 2}
+        assert (cam_src == 1).sum() > 0 and (cam_src == 2).sum() > 0
+        assert len(vp) == len(cam_src)

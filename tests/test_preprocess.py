@@ -133,6 +133,45 @@ class TestNeighbors:
                                       radius=1.0, k=16)
         assert np.asarray(valid).sum(axis=1).max() == 16
 
+    def test_radius_moments_vs_bruteforce(self, rng):
+        """radius_moments (the masked-matmul accumulation behind frames +
+        normals) must equal the per-query brute-force sums over ALL
+        in-radius neighbors — exact and uncapped — in both the single-block
+        and scanned (Q > block) regimes."""
+        from gpd_tpu.ops.neighbors import radius_moments
+
+        n = 500
+        pts = (rng.normal(size=(n, 3)) * 0.1).astype(np.float32)
+        mask = np.ones(n, bool)
+        mask[450:] = False
+        feats = rng.normal(size=(n, 4)).astype(np.float32)
+        q = pts[:90]
+        qm = np.ones(90, bool)
+        qm[85:] = False
+        for block in (1024, 32):          # single-block and scanned paths
+            sums, counts = radius_moments(
+                jnp.asarray(q), jnp.asarray(qm), jnp.asarray(pts),
+                jnp.asarray(mask), jnp.asarray(feats), 0.06, block=block)
+            sums, counts = np.asarray(sums), np.asarray(counts)
+            d = np.linalg.norm(q[:, None] - pts[None], axis=-1)
+            for i in range(90):
+                inr = (d[i] <= 0.06) & mask & qm[i]
+                assert counts[i] == inr.sum()
+                np.testing.assert_allclose(sums[i], feats[inr].sum(0),
+                                           rtol=1e-5, atol=1e-5)
+
+    def test_select_min_max_k_exact(self, rng):
+        """select_min_k/select_max_k exact paths equal a NumPy sort."""
+        from gpd_tpu.ops.neighbors import select_max_k, select_min_k
+
+        x = rng.normal(size=(7, 40)).astype(np.float32)
+        vals, idx = select_min_k(jnp.asarray(x), 5, exact=True)
+        np.testing.assert_allclose(np.asarray(vals),
+                                   np.sort(x, axis=1)[:, :5], rtol=1e-6)
+        vals, idx = select_max_k(jnp.asarray(x), 5, exact=True)
+        np.testing.assert_allclose(np.asarray(vals),
+                                   -np.sort(-x, axis=1)[:, :5], rtol=1e-6)
+
 
 def _voxelize_oracle(points, cell):
     """Transcription of cloud.cpp:286-348 semantics (single camera)."""

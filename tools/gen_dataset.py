@@ -64,8 +64,27 @@ def build_items(det, num_objects: int, views_per_object: int, seed: int = 0,
     Single objects: odd views render TWO fused cameras (multi-camera
     normals orientation + shadow intersection see real 2-cam statistics).
     Scenes: every capture is 2 fused cameras with occlusion rendering.
+
+    Scene items stream FIRST: they are the scarcer signal, so a run cut
+    short (or resumed) always has full clutter coverage.
     """
     from gpd_tpu.datasets import synthetic as syn
+
+    srng = np.random.default_rng(seed + 7)
+    for s in range(num_scenes):
+        spts, snrm = syn.make_scene(srng)
+        mesh = _mesh_arrays(spts, snrm, SCENE_MESH_CAPACITY)
+        cams = syn.view_cameras(srng, 2 * views_per_object, dist=0.7)
+        for v in range(views_per_object):
+            vpts, vcam, vps = syn.render_fused_views(
+                srng, spts, snrm, cams[2 * v:2 * v + 2], occluded=True)
+            if len(vpts) < 500:
+                continue
+            vpts, vcam = _fit_capacity(srng, vpts, vcam, SCENE_VIEW_CAPACITY)
+            view = det.preprocess_cloud(
+                vpts, view_points=vps, cam_source=vcam,
+                capacity=SCENE_VIEW_CAPACITY)
+            yield f"scene_{s:03d}", v, view, mesh
 
     rng = np.random.default_rng(seed + 1)
     for name, mpts, mnrm in syn.object_zoo(num_objects, seed=seed):
@@ -85,22 +104,6 @@ def build_items(det, num_objects: int, views_per_object: int, seed: int = 0,
                 vpts, view_points=vps, cam_source=vcam,
                 capacity=VIEW_CAPACITY)
             yield name, v, view, mesh
-
-    srng = np.random.default_rng(seed + 7)
-    for s in range(num_scenes):
-        spts, snrm = syn.make_scene(srng)
-        mesh = _mesh_arrays(spts, snrm, SCENE_MESH_CAPACITY)
-        cams = syn.view_cameras(srng, 2 * views_per_object, dist=0.7)
-        for v in range(views_per_object):
-            vpts, vcam, vps = syn.render_fused_views(
-                srng, spts, snrm, cams[2 * v:2 * v + 2], occluded=True)
-            if len(vpts) < 500:
-                continue
-            vpts, vcam = _fit_capacity(srng, vpts, vcam, SCENE_VIEW_CAPACITY)
-            view = det.preprocess_cloud(
-                vpts, view_points=vps, cam_source=vcam,
-                capacity=SCENE_VIEW_CAPACITY)
-            yield f"scene_{s:03d}", v, view, mesh
 
 
 def main():
