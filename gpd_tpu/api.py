@@ -34,8 +34,11 @@ def detect_grasps_in_cloud(config, points: np.ndarray,
     if view_points is None:
         view_points = np.asarray(det.cfg.camera_position,
                                  np.float32).reshape(-1, 3)
+    # "serve": octave capacity buckets so a caller streaming varied-size
+    # clouds reuses the compiled pipeline (detector.serve_capacity).
     cloud = det.preprocess_cloud(points, view_points=view_points,
-                                 normals=normals, cam_source=cam_source)
+                                 normals=normals, cam_source=cam_source,
+                                 capacity="serve")
     grasps = det.detect(cloud, key=jax.random.PRNGKey(seed), verbose=False)
     return grasps.to_host_list()
 

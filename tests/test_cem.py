@@ -64,6 +64,30 @@ class TestCEMDetect:
         out = sis.detect(cloud, key=jax.random.PRNGKey(0), verbose=False)
         assert int(np.asarray(out.valid).sum()) > 0
 
+    def test_single_draw_compile_across_rounds(self, rng):
+        """The fixed-capacity mixture-center accumulator means every
+        importance-sampling round reuses ONE compiled draw program (a
+        growing concatenate would retrace — and remote-compile — per
+        round). Probe: _draw_round's jit cache grows by exactly one entry
+        over a 4-iteration run, and stays put on a second run."""
+        import gpd_tpu.cem as cem_mod
+
+        pts, nrm = cylinder_cloud(rng)
+        cloud = CloudArrays.from_numpy(pts, normals=nrm)
+        cfg = DetectorConfig(search_neighbors_cap=256, frame_neighbors_cap=32,
+                             normals_neighbors_cap=32, shadow_voxel_cap=256,
+                             min_inliers=0, num_selected=20)
+        det = GraspDetector(cfg)
+        cem = CEMConfig(num_init_samples=8, num_iterations=4,
+                        num_samples_per_iteration=8, min_score=-1e9)
+        sis = SequentialImportanceSampling(det, cem)
+        cem_mod._draw_round.clear_cache()
+        sis.detect(cloud, key=jax.random.PRNGKey(0), verbose=False)
+        assert cem_mod._draw_round._cache_size() == 1
+        assert len(sis.last_round_counts) == 5
+        sis.detect(cloud, key=jax.random.PRNGKey(1), verbose=False)
+        assert cem_mod._draw_round._cache_size() == 1
+
     def test_reference_cem_config_parses(self):
         cem = CEMConfig.from_file("/root/reference/cfg/cem_vino_params.cfg")
         assert cem.num_iterations >= 1
