@@ -95,7 +95,12 @@ def _cluster_kernel(pos, axis, score, valid, min_inliers: int,
         nf = jnp.maximum(n, 1).astype(jnp.float32)
         mean_pos = jnp.einsum("ij,jd->id", pair.astype(jnp.float32), pos) / nf[:, None]
         mean_s = pair @ score / nf
-        var = pair @ (score * score) / nf - mean_s * mean_s
+        # Centered (two-pass) variance: the raw-moment form
+        # E[s^2] - E[s]^2 cancels catastrophically in f32 for tight
+        # clusters (a 1-inlier cluster's std must be exactly 0, and the
+        # conf bound = its score — clustering.cpp:80-101 semantics).
+        d = score[None, :] - mean_s[:, None]                  # (G, G)
+        var = jnp.sum(jnp.where(pair, d * d, 0.0), axis=1) / nf
         std = jnp.sqrt(jnp.maximum(var, 0.0))
         conf_lb = mean_s - 2.576 * std / jnp.sqrt(nf)
         ok = valid & (n >= min_inliers)
@@ -111,7 +116,9 @@ def _cluster_kernel(pos, axis, score, valid, min_inliers: int,
             w = inl.astype(jnp.float32)
             mean_pos = (w @ pos) / nf
             mean_s = w @ score / nf
-            var = w @ (score * score) / nf - mean_s * mean_s
+            # Centered variance (see the non-greedy branch).
+            ds = score - mean_s
+            var = w @ (ds * ds) / nf
             std = jnp.sqrt(jnp.maximum(var, 0.0))
             conf = mean_s - 2.576 * std / jnp.sqrt(nf)
             accept = valid[i] & (n >= min_inliers)

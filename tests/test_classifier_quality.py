@@ -87,7 +87,11 @@ class TestTrainedClassifier:
         auc = _auc(scores, labels)
         print(f"score/label AUC over {len(labels)} candidates "
               f"({int(labels.sum())} pos): {auc:.3f}")
-        assert auc > 0.75, f"trained classifier AUC {auc:.3f} <= 0.75"
+        # r4 checkpoint (201k clutter/two-camera set): 0.826 here. The
+        # retrain moved the clutter-scene AUC 0.754 -> 0.928 (next test,
+        # gated at 0.85) while this single-isolated-object eval held at
+        # ~0.82-0.83; the floor is set just under the achieved level.
+        assert auc > 0.80, f"trained classifier AUC {auc:.3f} <= 0.80"
 
     def test_clutter_scene_auc(self):
         """Dense-clutter quality (the reference's serving claim regime,
@@ -135,7 +139,11 @@ class TestTrainedClassifier:
         auc = _auc(scores, labels)
         print(f"clutter-scene score/label AUC over {len(labels)} candidates "
               f"({int(labels.sum())} pos): {auc:.3f}")
-        assert auc > 0.70, f"clutter AUC {auc:.3f} <= 0.70"
+        # r3 single-view-trained checkpoint scored 0.754 here; the r4
+        # clutter/two-camera retrain reaches 0.928. Gate at the tightened
+        # 0.85 (VERDICT r3 #4) on this distribution — the regime the
+        # reference's serving claims are about.
+        assert auc > 0.85, f"clutter AUC {auc:.3f} <= 0.85"
 
     def test_blend_vs_mean_score_delta(self, rng):
         """Quantify the normals blend->mean design change as a score delta:

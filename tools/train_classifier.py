@@ -29,6 +29,13 @@ def main():
 
     data_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gpd_dataset"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    # Batch-queue control: a wall-clock-constrained operator can clamp the
+    # epoch count of already-queued trainings without killing the queue.
+    ov = os.environ.get("GPD_EPOCHS_OVERRIDE_FILE", "/tmp/gpd_epochs_override")
+    if os.path.exists(ov):
+        with open(ov) as f:
+            epochs = min(epochs, int(f.read().strip()))
+        print(f"epoch count clamped to {epochs} by {ov}")
     train_path = os.path.join(data_dir, "train.h5")
     test_path = os.path.join(data_dir, "test.h5")
 
