@@ -24,7 +24,8 @@ def main(argv=None):
     detector = GraspDetector(cfg)
     points = load_cloud_file(argv[1])
     vp = np.asarray(cfg.camera_position, np.float32).reshape(1, 3)
-    cloud = detector.preprocess_cloud(points, view_points=vp)
+    cloud = detector.preprocess_cloud(points, view_points=vp,
+                                      capacity="serve")
     sis = SequentialImportanceSampling(detector, cem_cfg)
     sis.detect(cloud)
     return 0
