@@ -151,6 +151,10 @@ def main():
         "unit": "cand/s/chip",
         "vs_baseline": round(cps / 50000.0, 3),
         "warmup_s": round(warm_k, 1),
+        # Stated regression budgets (VERDICT r3 #6): cold compile must stay
+        # under these; cache-warm reruns are typically a few seconds
+        # (persistent cache + serve-capacity octave bucketing).
+        "warmup_budget_s": 30.0,
         "p50_latency_s": round(p50_k, 4),
         "table_mug": {
             "candidates_per_sec": round(cps2, 1),
@@ -158,6 +162,7 @@ def main():
             "num_samples": 5000,
             "valid_grasps": n_valid2,
             "warmup_s": round(warm_m, 1),
+            "warmup_budget_s": 45.0,
         },
         "cem": {
             "total_s_p50": round(cem_p50, 4),
