@@ -104,10 +104,22 @@ class HDF5ShardWriter:
                 if not h5py.is_hdf5(path):
                     corrupt = True
                 else:
+                    # Probe with locking disabled: under default HDF5 file
+                    # locking a CONCURRENT writer's exclusive lock also makes
+                    # h5py.File(path, 'r') raise OSError, and deleting here
+                    # would destroy a live shard another process is writing
+                    # (multi-host generate() shards by process_index). With
+                    # locking=False the open only fails if the bytes are
+                    # genuinely unreadable.
                     try:
-                        h5py.File(path, "r").close()
+                        h5py.File(path, "r", locking=False).close()
                     except OSError:
                         corrupt = True
+                    except TypeError:  # h5py too old for locking kwarg
+                        try:
+                            h5py.File(path, "r").close()
+                        except OSError:
+                            corrupt = True
             if not corrupt:
                 raise
             os.remove(path)
@@ -152,15 +164,34 @@ class HDF5ShardWriter:
                                 "start": n0, "end": n1}) + "\n")
         self.done.add((obj, view))
 
-    def shuffle_in_place(self, seed: int = 0) -> None:
-        """Final shuffle (replaces shuffle_hdf5.py)."""
+    def shuffle_in_place(self, seed: int = 0, block: int = 20000) -> None:
+        """Final shuffle (replaces shuffle_hdf5.py): streaming
+        monotonic-gather blocks into a temp file + atomic rename, O(block)
+        memory at any dataset size (same scheme as
+        apps/hdf5_tools.py cmd_shuffle). The previous all-in-RAM permutation
+        spiked ~11 GB at the end of a multi-hour 201k-example run — the
+        worst possible moment for an OOM kill."""
+        import h5py
         n = self.h5["labels"].shape[0]
         perm = np.random.default_rng(seed).permutation(n)
-        images = self.h5["images"][:][perm]
-        labels = self.h5["labels"][:][perm]
-        self.h5["images"][:] = images
-        self.h5["labels"][:] = labels
         self.h5.flush()
+        tmp = self.path + ".shuffle.tmp"
+        with h5py.File(tmp, "w") as dst:
+            for name in ("images", "labels"):
+                d = self.h5[name]
+                out = dst.create_dataset(
+                    name, shape=d.shape, dtype=d.dtype, chunks=d.chunks,
+                    maxshape=d.maxshape)
+                for b0 in range(0, n, block):
+                    sel = perm[b0:b0 + block]
+                    order = np.argsort(sel)
+                    rows = d[np.sort(sel)]  # HDF5 needs monotonic indices
+                    inv = np.empty_like(order)
+                    inv[order] = np.arange(len(order))
+                    out[b0:b0 + len(sel)] = rows[inv]
+        self.h5.close()
+        os.replace(tmp, self.path)
+        self.h5 = h5py.File(self.path, "a")
 
     def close(self):
         self.h5.close()

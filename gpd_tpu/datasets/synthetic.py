@@ -236,6 +236,14 @@ def render_view_occluded(rng: np.random.Generator, pts: np.ndarray,
     t = np.maximum(dirs @ w, 1e-6)
     ia = np.floor((dirs @ u) / t / cell_rad).astype(np.int64)
     ie = np.floor((dirs @ v) / t / cell_rad).astype(np.int64)
+    # Rays nearly perpendicular to the mean view direction (t at the 1e-6
+    # clamp) produce tangent coordinates far beyond the 2^20 packing offset;
+    # unclipped they alias unrelated cells and can cull visible points.
+    # Clip into the bit budget: extreme rays only ever compete with other
+    # equally-extreme rays in the border cell.
+    lim = (1 << 20) - 1
+    ia = np.clip(ia, -lim, lim)
+    ie = np.clip(ie, -lim, lim)
     cell = (ia + (1 << 20)) * (1 << 21) + (ie + (1 << 20))
     order = np.lexsort((dist, cell))
     cell_sorted = cell[order]

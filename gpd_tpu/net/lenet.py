@@ -126,8 +126,9 @@ def _forward_impl(params: Params, images_u8: jax.Array, conv_relu: bool,
     # fc1 weights are (500, C*H*W) over a CHW flatten; the NHWC activation
     # flattens HWC, so permute the weight columns to match.
     s = x.shape[1]
-    w1 = params["fc1_w"].reshape(500, -1, s, s)
-    w1 = jnp.transpose(w1, (0, 2, 3, 1)).reshape(500, -1)
+    n1 = params["fc1_w"].shape[0]          # 500 (Net) or hidden[0] (NetCCFFF)
+    w1 = params["fc1_w"].reshape(n1, -1, s, s)
+    w1 = jnp.transpose(w1, (0, 2, 3, 1)).reshape(n1, -1)
     x = x.reshape(x.shape[0], -1)                           # HWC flatten
     x = dense(x, w1, params["fc1_b"])
     x = jnp.maximum(x, 0.0)

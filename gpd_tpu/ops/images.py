@@ -267,8 +267,11 @@ def compute_shadows(key, nn_pts, nn_valid, nn_cam, view_points,
         vec = center - view_points[c][None, :]                       # (S, 3)
         vec = shadow_length * vec / jnp.maximum(
             jnp.linalg.norm(vec, axis=1, keepdims=True), 1e-12)
+        # Even stream ids for cameras, odd reserved for the voxel jitter —
+        # with 8+ view points, fold_in(rk, c) for camera 7 would collide
+        # with a jitter stream keyed on a small constant.
         u = jax.vmap(
-            lambda rk: jax.random.uniform(jax.random.fold_in(rk, c),
+            lambda rk: jax.random.uniform(jax.random.fold_in(rk, 2 * c),
                                           (K, n_sp)))(row_keys)
         q = nn_pts[:, :, None, :] + u[..., None] * vec[:, None, None, :]
         vox = jnp.trunc(q * inv_vox).astype(jnp.int32)               # C++ cast<int>
@@ -319,7 +322,7 @@ def compute_shadows(key, nn_pts, nn_valid, nn_cam, view_points,
     # Voxels -> points with shared-scalar N(0,1)*0.3*voxel jitter
     # (hand_set.cpp:187-206: same scalar for all 3 coords of a voxel).
     jit = jax.vmap(
-        lambda rk: jax.random.normal(jax.random.fold_in(rk, 7),
+        lambda rk: jax.random.normal(jax.random.fold_in(rk, 1),
                                      (v_cap, 1)))(row_keys) \
         * (0.3 * SHADOW_VOXEL)
     pts = vox * SHADOW_VOXEL + jit

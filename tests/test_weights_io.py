@@ -47,6 +47,15 @@ class TestOnnxRoundtrip:
         np.testing.assert_array_equal(np.asarray(params["fc3_w"]),
                                       back["fc3_w"])
 
+    def test_ccfff_forward(self, rng):
+        """NetCCFFF forward runs with non-500 fc1 width (the NHWC fc1-column
+        permutation must be width-agnostic, not hardcode Net's 500 rows)."""
+        params = lenet.init_params_ccfff(jax.random.PRNGKey(4), 15)
+        x = rng.integers(0, 256, size=(3, 60, 60, 15)).astype(np.uint8)
+        logits = lenet.forward(params, jnp.asarray(x))
+        assert logits.shape == (3, 2)
+        assert np.isfinite(np.asarray(logits)).all()
+
 
 class TestOpenVinoImport:
     def test_reference_xml_with_synthetic_bin(self, tmp_path, rng):

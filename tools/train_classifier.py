@@ -31,10 +31,18 @@ def main():
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     # Batch-queue control: a wall-clock-constrained operator can clamp the
     # epoch count of already-queued trainings without killing the queue.
-    ov = os.environ.get("GPD_EPOCHS_OVERRIDE_FILE", "/tmp/gpd_epochs_override")
-    if os.path.exists(ov):
+    # Opt-in only (the override file must be named explicitly — no
+    # world-writable /tmp default that could silently under-train a shipped
+    # checkpoint), and malformed content fails loudly.
+    ov = os.environ.get("GPD_EPOCHS_OVERRIDE_FILE")
+    if ov and os.path.exists(ov):
         with open(ov) as f:
-            epochs = min(epochs, int(f.read().strip()))
+            raw = f.read().strip()
+        if not raw.isdigit() or int(raw) <= 0:
+            raise SystemExit(
+                f"GPD_EPOCHS_OVERRIDE_FILE {ov}: expected a positive int, "
+                f"got {raw!r}")
+        epochs = min(epochs, int(raw))
         print(f"epoch count clamped to {epochs} by {ov}")
     train_path = os.path.join(data_dir, "train.h5")
     test_path = os.path.join(data_dir, "test.h5")
