@@ -87,10 +87,58 @@ def bench_workload(det, cloud, cfg, n_iters=10):
     return n_candidates / dt, p50, warmup_s, n_candidates, n_valid
 
 
+def bench_workload_sharded(det, cloud, cfg, n_iters=10):
+    """Same fused pipeline through the shard_map candidate-parallel path
+    over a 1-device mesh (bench.py --sharded): measures the shard_map
+    overhead on the real chip. Returns (cand_per_sec, p50_latency_s,
+    warmup_s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpd_tpu.detector import select_and_cluster
+    from gpd_tpu.parallel.sharded import (default_mesh, detect_sharded_raw,
+                                          replicate, shard_samples)
+
+    key = jax.random.PRNGKey(0)
+    spos, smask = det.sample_cloud(cloud, key)
+    cap = det.image_cap(spos.shape[0])
+    mesh = default_mesh(1)
+    spos_s, smask_s = shard_samples(mesh, spos, smask)
+    cloud_r = replicate(mesh, cloud)
+    params_r = replicate(mesh, det.params)
+
+    def step(k):
+        g = detect_sharded_raw(cloud_r, spos_s, smask_s, params_r, k, cfg,
+                               cap, mesh)
+        return select_and_cluster(g, cfg)
+
+    t0 = time.perf_counter()
+    out = step(key)
+    _sync(out)
+    warmup_s = time.perf_counter() - t0
+    keys = [jnp.asarray(k) for k in np.asarray(jax.random.split(key, n_iters))]
+    _sync(keys[-1])
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = step(keys[i])
+    _sync(out)
+    dt = (time.perf_counter() - t0) / n_iters
+    lats = []
+    for i in range(n_iters):
+        t0 = time.perf_counter()
+        out = step(keys[i])
+        _sync(out)
+        lats.append(time.perf_counter() - t0)
+    n_candidates = spos.shape[0] * cfg.num_orientations * len(cfg.hand_axes)
+    return n_candidates / dt, float(np.median(lats)), warmup_s
+
+
 def main():
     from gpd_tpu.config import load_config
     from gpd_tpu.detector import GraspDetector
     from gpd_tpu.io.pcd import load_pcd
+
+    sharded_mode = "--sharded" in sys.argv
 
     # Workload 1: krylon @ 500 samples (headline).
     cfg = load_config("/root/reference/cfg/eigen_params.cfg")
@@ -145,6 +193,52 @@ def main():
           f"{sis.last_num_grasps}, p50 {cem_p50*1000:.1f} ms, "
           f"warmup {cem_warm:.1f}s", file=sys.stderr)
 
+    # CEM matrix (VERDICT r4 #4): MAX_OF_GAUSSIANS on chip + a big-scene
+    # (table_mug) CEM workload — previously only krylon + SUM ever ran on
+    # the real device.
+    sis_max = SequentialImportanceSampling(det3, CEMConfig(sampling_method=1))
+    t0 = time.perf_counter()
+    sis_max.detect(cloud, key=jax.random.PRNGKey(0), verbose=False)
+    cem_max_warm = time.perf_counter() - t0
+    times = []
+    for i in range(3):
+        sis_max.detect(cloud, key=jax.random.PRNGKey(i), verbose=False)
+        times.append(sis_max.last_runtime_s)
+    cem_max_p50 = float(np.median(times))
+    print(f"# cem max_of_gaussians: rounds {sis_max.last_round_counts}, "
+          f"grasps {sis_max.last_num_grasps}, p50 {cem_max_p50*1000:.1f} ms, "
+          f"warmup {cem_max_warm:.1f}s", file=sys.stderr)
+
+    det4 = GraspDetector(dataclasses.replace(cfg2, min_inliers=1),
+                         params=det.params)
+    det4.cfg = mcfg
+    sis_mug = SequentialImportanceSampling(det4, CEMConfig())
+    t0 = time.perf_counter()
+    sis_mug.detect(cloud2, key=jax.random.PRNGKey(0), verbose=False)
+    cem_mug_warm = time.perf_counter() - t0
+    times = []
+    for i in range(3):
+        sis_mug.detect(cloud2, key=jax.random.PRNGKey(i), verbose=False)
+        times.append(sis_mug.last_runtime_s)
+    cem_mug_p50 = float(np.median(times))
+    print(f"# cem table_mug: rounds {sis_mug.last_round_counts}, grasps "
+          f"{sis_mug.last_num_grasps}, p50 {cem_mug_p50*1000:.1f} ms, "
+          f"warmup {cem_mug_warm:.1f}s", file=sys.stderr)
+
+    sharded_obj = None
+    if sharded_mode:
+        scps, sp50, swarm = bench_workload_sharded(det, cloud, kcfg)
+        print(f"# sharded (1-dev mesh): {scps:.0f} cand/s, p50 "
+              f"{sp50*1000:.2f} ms, overhead {(sp50/p50_k-1)*100:+.1f}%, "
+              f"warmup {swarm:.1f}s", file=sys.stderr)
+        sharded_obj = {
+            "candidates_per_sec": round(scps, 1),
+            "p50_latency_s": round(sp50, 4),
+            "overhead_vs_direct_pct": round((sp50 / p50_k - 1) * 100, 1),
+            "mesh_devices": 1,
+            "warmup_s": round(swarm, 1),
+        }
+
     print(json.dumps({
         "metric": "candidates_per_sec",
         "value": round(cps, 1),
@@ -173,7 +267,21 @@ def main():
             "samples_per_iteration": 50,
             "sampling": "sum_of_gaussians",
             "warmup_s": round(cem_warm, 1),
+            "max_of_gaussians": {
+                "total_s_p50": round(cem_max_p50, 4),
+                "round_candidates": sis_max.last_round_counts,
+                "final_grasps": sis_max.last_num_grasps,
+                "warmup_s": round(cem_max_warm, 1),
+            },
+            "table_mug": {
+                "total_s_p50": round(cem_mug_p50, 4),
+                "round_candidates": sis_mug.last_round_counts,
+                "final_grasps": sis_mug.last_num_grasps,
+                "sampling": "sum_of_gaussians",
+                "warmup_s": round(cem_mug_warm, 1),
+            },
         },
+        **({"sharded": sharded_obj} if sharded_obj else {}),
     }))
 
 

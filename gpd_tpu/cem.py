@@ -80,8 +80,17 @@ def draw_sum_of_gaussians(key, centers, center_mask, sigma, n):
 def draw_max_of_gaussians(key, centers, center_mask, sigma, n, oversample=4):
     """drawSamplesFromMaxOfGaussians (.cpp:203-237): rejection sampling —
     accept a draw from center j if its density under center j is >= the max
-    density over all centers. Implemented as a fixed-size batched rejection
-    pass with fallback to accepted-anywhere fills."""
+    density over all centers (the reference's exp(-d^2/(2 sigma)) densities
+    share the normalizer, so accept iff no other center is closer).
+
+    The reference loops until n draws are accepted; this is a fixed-size
+    batched pass drawing ``oversample``*n proposals. When fewer than n are
+    accepted, the remaining slots RESAMPLE the accepted set with
+    replacement — each fill is then itself a draw from the target
+    (accepted) distribution, so the output matches the reference's
+    loop-until-accepted distribution for any acceptance rate (validated
+    statistically in tests/test_cem.py); the earlier rejected-draw fill
+    biased the output exactly when acceptance was low."""
     k1, k2, k3 = jax.random.split(key, 3)
     m = n * oversample
     probs = center_mask.astype(jnp.float32)
@@ -94,9 +103,15 @@ def draw_max_of_gaussians(key, centers, center_mask, sigma, n, oversample=4):
     # (min distance <=> max density).
     d2_own = jnp.sum((x - centers[idx]) ** 2, axis=-1)
     accept = d2_own <= jnp.min(d2, axis=1) + 1e-12
-    # Order accepted draws first, take n.
+    # Accepted draws first; fill any shortfall by resampling the accepted
+    # prefix with replacement (degenerates to rejected draws only if
+    # NOTHING was accepted, which cannot happen for centers with any
+    # isolated member and is vanishingly rare otherwise).
     order = jnp.argsort(~accept, stable=True)
-    return x[order[:n]]
+    n_acc = jnp.sum(accept)
+    fill = jax.random.randint(k3, (n,), 0, jnp.maximum(n_acc, 1))
+    take = jnp.where(jnp.arange(n) < n_acc, order[:n], order[fill])
+    return x[take]
 
 
 def draw_uniform_cloud_samples(key, points, pool_mask, workspace, n):
@@ -182,7 +197,7 @@ class SequentialImportanceSampling:
             """Candidates-only evaluation (the reference's per-iteration
             work: generateGraspCandidates + filters, no CNN)."""
             nonlocal centers, cmask, ofs
-            if mesh is not None and n_dev > 1:
+            if mesh is not None:
                 spos, smask = sharded.shard_samples(mesh, spos, smask,
                                                     self.mesh_axis)
                 g = sharded.candidates_sharded_raw(cloud, spos, smask, cfg,
@@ -218,7 +233,7 @@ class SequentialImportanceSampling:
         # are per-sample).
         scored = []
         for g, spos, smask, k in rounds:
-            if mesh is not None and n_dev > 1:
+            if mesh is not None:
                 sg = sharded.score_sharded_raw(cloud, g, spos, smask, params,
                                                k, cfg, cap, mesh,
                                                self.mesh_axis)

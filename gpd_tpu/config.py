@@ -208,13 +208,19 @@ class DetectorConfig:
     frame_neighbors_cap: int = 64    # K for local-frame estimation
     search_neighbors_cap: int = 4096  # K for hand search neighborhoods
                                       # (auto-clamped to the cloud size)
-    search_identity_max: int = 32768  # clouds up to this size run the hand
+    search_identity_max: int = 131072  # clouds up to this size run the hand
                                       # search on IDENTITY neighborhoods
                                       # (whole cloud + in-radius mask): sort-
                                       # free AND uncapped — exactly the
-                                      # reference's kd-tree semantics. Bigger
-                                      # clouds fall back to exact nearest-K
-                                      # at search_neighbors_cap.
+                                      # reference's kd-tree semantics. The
+                                      # search kernel tiles the sample axis
+                                      # (down to 8-row blocks) so the working
+                                      # set stays bounded at any cloud size;
+                                      # 131072 covers the largest serve
+                                      # bucket, so the nearest-K fallback
+                                      # (lossy: NEIGHBORS_TPU.md measured 104
+                                      # candidate flips at cap 4096 on a 16k
+                                      # cloud) never engages in practice.
     image_neighbors_cap: int = 2048   # K for descriptor neighborhoods (the
                                       # image volume is far smaller than the
                                       # search ball; nearest-K covers it)

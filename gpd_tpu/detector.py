@@ -367,11 +367,12 @@ def _images_for(cloud: CloudArrays, g: Grasps, nn_idx, nn_valid,
     sid = g.sample_id if sid_map is None else sid_map[g.sample_id]
     h_nvalid = nn_valid[sid] & g.valid[:, None]
     if identity_nn:
-        n = sid.shape[0]
-        h_pts = jnp.broadcast_to(cloud.points[None],
-                                 (n,) + cloud.points.shape)
-        h_nrm = jnp.broadcast_to(cloud.normals[None],
-                                 (n,) + cloud.normals.shape)
+        # SHARED neighborhood: pass the (N, 3) cloud arrays unexpanded;
+        # make_images factors the per-hand transform as R^T p - R^T s so
+        # the cloud is never broadcast per hand (the materialized
+        # (G, N, 3) broadcast copies cost ~1.6 ms/chunk in traces).
+        h_pts = cloud.points
+        h_nrm = cloud.normals
     else:
         h_idx = nn_idx[sid]
         h_pts = cloud.points[h_idx]
@@ -472,6 +473,30 @@ def score_candidates(cloud: CloudArrays, grasps: Grasps,
         out = chunk_fn(g)
         scores = out[0]
         images = None if scores_only else out[1]
+    elif scores_only:
+        # Serving path: a while_loop over LIVE chunks only. The previous
+        # lax.map + lax.cond ran a conditional for every chunk — profiler
+        # traces showed each *skipped* chunk still costing ~0.8 ms on chip
+        # (conditional overhead + operand copies); the while_loop's trip
+        # count is the live-chunk count, so dead chunks never execute.
+        n_live = (jnp.sum(grasps.valid) + image_cap - 1) // image_cap
+
+        def cond_fn(state):
+            return state[0] < n_live
+
+        def body_fn(state):
+            i, scores = state
+            gc = _slice_grasps(g_all, i * image_cap, image_cap)
+            im = _images_for(cloud, gc, nn_idx, nn_valid, shadow_pts,
+                             shadow_valid, cfg, sid_map)
+            s = lenet.score(params, im)
+            return i + 1, jax.lax.dynamic_update_slice(
+                scores, s, (i * image_cap,))
+
+        scores0 = jnp.full((n_chunks * image_cap,), -jnp.inf, jnp.float32)
+        _, scores = jax.lax.while_loop(cond_fn, body_fn,
+                                       (jnp.int32(0), scores0))
+        images = None
     else:
         g_chunks = jax.tree_util.tree_map(
             lambda a: a.reshape((n_chunks, image_cap) + a.shape[1:]), g_all)
@@ -511,15 +536,13 @@ def select_and_cluster(grasps: Grasps, cfg: DetectorConfig) -> Grasps:
     """Steps 5-7 of detectGrasps (grasp_detector.cpp:275-311): top-k
     selection, optional clustering with the reference's <=3-clusters
     fallback (append the selected hands), final score-descending sort."""
-    g, _ = sel.select_top_k(grasps, cfg.num_selected)
+    # select_top_k truncates to the selected heads: downstream only ever
+    # consumes the top num_selected rows, and the O(G^2) clustering runs on
+    # the *selected* set like the reference (grasp_detector.cpp:283-295; at
+    # 40k candidates the full pairwise matrix alone would be ~6 GB HBM).
+    k = min(grasps.capacity, _next_size(cfg.num_selected, 64))
+    g, _ = sel.select_top_k(grasps, cfg.num_selected, out_cap=k)
     if cfg.min_inliers > 0:
-        # select_top_k reorders score-descending, so the selected hands
-        # occupy the leading rows: slice to them before the O(G^2)
-        # pairwise clustering (at 40k candidates the full-capacity pairwise
-        # matrix alone is ~6 GB HBM; the reference likewise clusters the
-        # *selected* set, grasp_detector.cpp:283-295).
-        k = min(g.capacity, _next_size(cfg.num_selected, 64))
-        g = jax.tree_util.tree_map(lambda a: a[:k], g)
         clustered = sel.cluster_grasps(g, cfg.min_inliers)
         n_clusters = jnp.sum(clustered.valid)
         keep_originals = n_clusters <= 3
@@ -530,7 +553,9 @@ def select_and_cluster(grasps: Grasps, cfg: DetectorConfig) -> Grasps:
             valid=jnp.concatenate(
                 [clustered.valid, g.valid & keep_originals]))
         return sel.sort_by_score(merged)
-    return sel.sort_by_score(g)
+    # select_top_k already returned the batch score-descending with only the
+    # top-k valid; a final sort_by_score is the identity permutation here.
+    return g
 
 
 class GraspDetector:

@@ -284,8 +284,18 @@ def _search_kernel(points, normals, pmask, sample_pos, frames, frame_valid,
     S = sample_pos.shape[0]
     M = rfix.shape[0]
     # The bench workload (S=500) runs as a single block; big scenes (e.g.
-    # table_mug at 5000 samples x 8k points) scan over sample blocks.
-    blk = max(128, min(_ceil128(S), (_BLOCK_ELEMS // max(M * k, 1)) & ~127))
+    # table_mug at 5000 samples x 8k points) scan over sample blocks. For
+    # very large K (identity search on >32k-point clouds) the block shrinks
+    # below 128 — down to 8-row (sublane-aligned) blocks — so the uncapped
+    # identity path scales to any cloud size at a bounded working set
+    # instead of falling back to a lossy nearest-K cap (the repo's own
+    # on-chip A/B measured 104 flipped candidates at cap 4096 on a 16k
+    # cloud, NEIGHBORS_TPU.md).
+    budget = _BLOCK_ELEMS // max(M * k, 1)
+    if budget >= 128:
+        blk = max(128, min(_ceil128(S), budget & ~127))
+    else:
+        blk = max(8, budget & ~7)
     nblk = -(-S // blk)
 
     def eval_block(spos_b, fval_b, frames_b):

@@ -201,6 +201,136 @@ def _raster_sums_pallas2(rows_a, rows_b, cols, aug, size: int,
     return jnp.stack([a, b], axis=1)
 
 
+def _raster_blocks_pallas(midx, mvalsT, sidx, svalsT, size: int,
+                          with_shadow: bool):
+    """All per-cell sums for the 12/15-channel stacks in ONE Pallas kernel.
+
+    Row-side-channel formulation: instead of building a wide column-kron
+    value operand (N = size*Cp lanes worth of select passes per hand), each
+    channel becomes a 64-row block of (rowhot * value) and a single
+    column-onehot serves as the shared right operand:
+
+        out[c*R + r, col] = sum_k rowhot[r,k] * value_c[k] * colhot[col,k]
+
+    Per hand this needs 4 onehot builds (rows u/w, cols v/u — the
+    projection structure P0=(u,v,w), P1=(w,v,u), P2=(w,u,v) shares them),
+    one multiply pass per value channel, and 2 (4 with shadows) MXU dots —
+    about half the VPU passes of the col-kron kernels it replaces, and one
+    kernel launch instead of four (on-chip: ~1.9x on the raster chunk).
+    Counts ride as the bare rowhot block (exact 0/1 in bf16; f32
+    accumulate). Value channels are bf16 — same rounding class as the
+    previous Precision.DEFAULT kernels, sub-uint8-step after minmax
+    (gated on chip by tools/check_raster_tpu.py).
+
+    midx: (G, 4, Km) int32 [rows_u, rows_w, cols_v, cols_u], sentinel=size.
+    mvalsT: (G, 6, Km) bf16 [|n| x3, u, v, w], pre-masked.
+    sidx/svalsT: same for shadow points ((G, 4, Ks) / (G, 3, Ks) [u, v, w]).
+    Returns (G, NB, R, R) f32 block sums, NB = 15 main (+ 6 shadow) blocks:
+    per projection [ax, ay, az, depth, count], shadows [depth, count];
+    depth_P0 = w, depth_P1 = u, depth_P2 = v. Crop blocks to [:size, :size].
+    """
+    G = midx.shape[0]
+    Km = midx.shape[-1]
+    Ks = sidx.shape[-1] if with_shadow else 0
+    R = -(-(size + 1) // 8) * 8
+    NB = 21 if with_shadow else 15
+    OUT = NB * R
+
+    def kernel(*refs):
+        if with_shadow:
+            mi_ref, mv_ref, si_ref, sv_ref, o_ref = refs
+        else:
+            mi_ref, mv_ref, o_ref = refs
+
+        def onehot(idx_row, rr):
+            # f32 select then cast: a direct bf16 select from an i32
+            # compare hits a Mosaic i1 relayout (8,128)->(16,128).
+            # rr < size: sentinel entries (idx == size) activate NO row, so
+            # output row/col `size` is exactly zero — downstream can then
+            # dilate the full (R, R) block with zero padding (equivalent to
+            # the -inf-border dilate on the crop: images are non-negative).
+            return jnp.where((idx_row == rr) & (rr < size),
+                             1.0, 0.0).astype(jnp.bfloat16)
+
+        rrm = jax.lax.broadcasted_iota(jnp.int32, (R, Km), 0)
+        hot_u = onehot(mi_ref[0, 0:1, :], rrm)
+        hot_w = onehot(mi_ref[0, 1:2, :], rrm)
+        chot_v = onehot(mi_ref[0, 2:3, :], rrm)
+        chot_u = onehot(mi_ref[0, 3:4, :], rrm)
+        ax = mv_ref[0, 0:1, :]
+        ay = mv_ref[0, 1:2, :]
+        az = mv_ref[0, 2:3, :]
+        uu = mv_ref[0, 3:4, :]
+        vv = mv_ref[0, 4:5, :]
+        ww = mv_ref[0, 5:6, :]
+        # P0 (rows u, cols v, depth w) + P1 (rows w, cols v, depth u) share
+        # the cols_v onehot; P2 (rows w, cols u, depth v). Dots run per
+        # 5-block (320-row) group rather than one 10-block operand: VMEM is
+        # ~16 MB/core and the big concatenated operand (3.3 MB each, on top
+        # of the onehots and products) left Mosaic no room to double-buffer
+        # the grid pipeline in the fused program.
+        def dot_to(lo, A, chot):
+            o_ref[0, lo * R:(lo + A.shape[0] // R) * R, :] = \
+                jax.lax.dot_general(A, chot, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+
+        dot_to(0, jnp.concatenate([hot_u * ax, hot_u * ay, hot_u * az,
+                                   hot_u * ww, hot_u], 0), chot_v)
+        dot_to(5, jnp.concatenate([hot_w * ax, hot_w * ay, hot_w * az,
+                                   hot_w * uu, hot_w], 0), chot_v)
+        dot_to(10, jnp.concatenate([hot_w * ax, hot_w * ay, hot_w * az,
+                                    hot_w * vv, hot_w], 0), chot_u)
+
+        if with_shadow:
+            rrs = jax.lax.broadcasted_iota(jnp.int32, (R, Ks), 0)
+            shot_u = onehot(si_ref[0, 0:1, :], rrs)
+            shot_w = onehot(si_ref[0, 1:2, :], rrs)
+            schot_v = onehot(si_ref[0, 2:3, :], rrs)
+            schot_u = onehot(si_ref[0, 3:4, :], rrs)
+            su = sv_ref[0, 0:1, :]
+            sv = sv_ref[0, 1:2, :]
+            sw = sv_ref[0, 2:3, :]
+            o_ref[0, 15 * R:19 * R, :] = jax.lax.dot_general(
+                jnp.concatenate([shot_u * sw, shot_u,
+                                 shot_w * su, shot_w], 0), schot_v,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0, 19 * R:21 * R, :] = jax.lax.dot_general(
+                jnp.concatenate([shot_w * sv, shot_w], 0), schot_u,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    in_specs = [
+        pl.BlockSpec((1, 4, Km), lambda g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 6, Km), lambda g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [midx, mvalsT]
+    if with_shadow:
+        in_specs += [
+            pl.BlockSpec((1, 4, Ks), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Ks), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [sidx, svalsT]
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((G, OUT, R), jnp.float32),
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, OUT, R), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(*args)
+    # (G, NB, R, R) block layout. (A raw (G, NB*R, R) return with static
+    # per-block slices was tried to kill the reshape's layout copies, but
+    # reduce_window on the strided slices ran ~6x slower than the copies —
+    # the reshape is the cheaper relayout on this backend.)
+    return out.reshape(out.shape[0], -1, -(-(size + 1) // 8) * 8, R)
+
+
 def num_shadow_points(image: ImageGeometry) -> int:
     """floor(shadow_length / voxel); shadow_length = max image dim
     (image_15_channels_strategy.h:75, hand_set.cpp:121-123)."""
@@ -301,9 +431,14 @@ def compute_shadows(key, nn_pts, nn_valid, nn_cam, view_points,
 
     # Compact unique voxels to the front, cap at v_cap. The hashed keys are
     # unique among valid entries, so a top_k of the v_cap smallest IS the
-    # compaction — much cheaper than a second full argsort over K*n_sp —
-    # and because the hash is pseudo-uniform, the kept subset is a spatially
-    # spread sample of the occupied region rather than a low-key slab.
+    # compaction, and because the hash is pseudo-uniform, the kept subset
+    # is a spatially spread sample of the occupied region rather than a
+    # low-key slab. (On-chip A/B, tools/bench_compact.py: top_k is the
+    # fastest compaction here — a vmapped searchsorted over the rank cumsum
+    # is ~40x slower pipelined (lane-gather-bound), and unique-index
+    # scatter ~2x slower; the sort+top_k pair costs only ~2-4 ms pipelined
+    # at (512, 8184) — earlier per-dispatch timings were dominated by the
+    # ~24 ms sync floor.)
     v_cap = min(v_cap, K * n_sp)
     skey = jnp.where(valid, cam0, jnp.int32(2 ** 30))
     neg, _ = jax.lax.top_k(-skey, v_cap)
@@ -455,78 +590,77 @@ def _minmax_u8(img, joint_axes):
 _PROJECTIONS = ((0, 1, 2), (2, 1, 0), (2, 0, 1))
 
 
-def _raster_multiproj_shared(unit, inside, absn, shadow_unit, shadow_inside,
-                             size: int, num_channels: int):
-    """12/15-channel rasterization exploiting cross-projection sharing
-    (TPU path). The projection index structure is
-        P0: rows u, cols v, depth w
-        P1: rows w, cols v, depth u
-        P2: rows w, cols u, depth v
-    so P0+P1 share their column one-hot and 4 of 5 value channels (the
-    merged-kron two-output kernel), while P2 runs the single kernel.
-    Channels are equivalent to the generic per-projection loop up to bf16
-    MXU rounding of the value sums (the merged kernel contracts at
-    Precision.DEFAULT; counts are exact at any precision, and the value
-    delta is sub-uint8-step after the minmax normalize —
-    tools/check_raster_tpu.py gates frac(|diff|>1) < 5e-3 on chip)."""
-    G = unit.shape[0]
+def _unit_transform_cm(x, y, z, bottom, center, image: ImageGeometry):
+    """Channel-major _unit_transform: x/y/z are (G, K) hand-frame coord
+    ROWS (not an (..., 3) minor axis). Returns (u, v, w, inside), each
+    (G, K). Keeping channels on the second-major axis lets the Pallas
+    raster operands assemble without layout copies (profiler traces showed
+    ~1.6 ms/chunk of pure relayout when transposing (G, K, 3) tensors)."""
+    half_od = image.outer_diameter / 2.0
+    b = bottom[..., None]
+    c = center[..., None]
+    inside = ((x > b) & (x < b + image.depth) &
+              (y > c - half_od) & (y < c + half_od) &
+              (z > -image.height) & (z < image.height))
+    u = (x - b) / image.depth
+    v = (y - (c - half_od)) / image.outer_diameter
+    w = (z + image.height) / (2.0 * image.height)
+    return u, v, w, inside
+
+
+def _cm_operands(u, v, w, inside, extra_rows, size: int):
+    """Assemble Pallas raster operands from channel-major rows: index
+    stack [rows_u, rows_w, cols_v, cols_u] (sentinel=size) and value stack
+    [*extra_rows, u, v, w] (masked), lane-padded to a multiple of 128."""
     sent = jnp.int32(size)
+    cu = _cell_coord(u, size)
+    cv_ = _cell_coord(v, size)
+    cw = _cell_coord(w, size)
+    idx = jnp.stack([jnp.where(inside, (size - 1) - cu, sent),
+                     jnp.where(inside, (size - 1) - cw, sent),
+                     jnp.where(inside, cv_, sent),
+                     jnp.where(inside, cu, sent)], axis=1)
+    mf = inside.astype(jnp.float32)
+    vals = jnp.stack([*extra_rows, u, v, w], axis=1) * mf[:, None, :]
 
-    def idxs(u3, mask):
-        cu = _cell_coord(u3[..., 0], size)
-        cv_ = _cell_coord(u3[..., 1], size)
-        cw = _cell_coord(u3[..., 2], size)
-        rows_u = jnp.where(mask, (size - 1) - cu, sent)
-        rows_w = jnp.where(mask, (size - 1) - cw, sent)
-        cols_v = jnp.where(mask, cv_, sent)
-        cols_u = jnp.where(mask, cu, sent)
-        return rows_u, rows_w, cols_v, cols_u
+    def pad_lanes(a, cval):
+        k = a.shape[-1]
+        kp = -(-k // 128) * 128
+        if kp == k:
+            return a
+        return jnp.pad(a, ((0, 0), (0, 0), (0, kp - k)),
+                       constant_values=cval)
 
-    rows_u, rows_w, cols_v, cols_u = idxs(unit, inside)
-    mf = inside.astype(jnp.float32)[..., None]
-    u_c, v_c, w_c = unit[..., 0:1], unit[..., 1:2], unit[..., 2:3]
-    one = jnp.ones_like(u_c)
-    # Merged P0+P1 channels: [|n| x3, depth_P0 = w, depth_P1 = u, count].
-    aug6 = jnp.concatenate([absn, w_c, u_c, one], -1) * mf
-    s01 = _raster_sums_pallas2(rows_u, rows_w, cols_v, aug6, size)
-    aug5 = jnp.concatenate([absn, v_c, one], -1) * mf
-    s2 = _raster_sums_pallas(rows_w, cols_u, aug5, size)
-    proj_nd = [
-        (jnp.concatenate([s01[:, 0, ..., 0:3], s01[:, 0, ..., 3:4]], -1),
-         s01[:, 0, ..., 5]),
-        (jnp.concatenate([s01[:, 1, ..., 0:3], s01[:, 1, ..., 4:5]], -1),
-         s01[:, 1, ..., 5]),
-        (s2[..., 0:4], s2[..., 4]),
-    ]
+    return (pad_lanes(idx, size).astype(jnp.int32),
+            pad_lanes(vals, 0.0).astype(jnp.bfloat16))
 
-    if num_channels == 15:
-        srows_u, srows_w, scols_v, scols_u = idxs(shadow_unit, shadow_inside)
-        smf = shadow_inside.astype(jnp.float32)[..., None]
-        su_c, sv_c, sw_c = (shadow_unit[..., 0:1], shadow_unit[..., 1:2],
-                            shadow_unit[..., 2:3])
-        sone = jnp.ones_like(su_c)
-        ss01 = _raster_sums_pallas2(srows_u, srows_w, scols_v,
-                                    jnp.concatenate([sw_c, su_c, sone], -1)
-                                    * smf, size)
-        ss2 = _raster_sums_pallas(srows_w, scols_u,
-                                  jnp.concatenate([sv_c, sone], -1) * smf,
-                                  size)
-        proj_sh = [
-            (ss01[:, 0, ..., 0], ss01[:, 0, ..., 2]),
-            (ss01[:, 1, ..., 1], ss01[:, 1, ..., 2]),
-            (ss2[..., 0], ss2[..., 1]),
-        ]
+
+def _raster_finish(blocks, size: int, num_channels: int):
+    """Final channel assembly from the fused kernel's per-cell sums
+    (G, NB, R, R): per projection [ax, ay, az, depth, count] (+ shadow
+    [depth, count] blocks 15..20); depth_P0 = w, depth_P1 = u,
+    depth_P2 = v.
+
+    (An NCHW assembly that dilated the full zero-masked blocks without
+    relayout was tried and measured SLOWER — the channel-first (G, C, 64,
+    64) elementwise/window ops underuse the 128-lane VPU; the NHWC copies
+    the moveaxis costs are the cheaper relayout on this backend.)"""
+    with_shadow = num_channels == 15
+    blocks = blocks[..., :size, :size]
 
     chans = []
     for pi in range(3):
-        sums4, cnt = proj_nd[pi]
-        mean = sums4 / jnp.maximum(cnt, 1.0)[..., None]
+        blk = blocks[:, 5 * pi:5 * pi + 5]
+        cnt = blk[:, 4]
+        mean = jnp.moveaxis(blk[:, :4], 1, -1) / \
+            jnp.maximum(cnt, 1.0)[..., None]
         nimg = _dilate3(mean[..., 0:3])
         chans.append(_minmax_u8(nimg, joint_axes=(1, 2, 3)))
         dimg = jnp.where(cnt[..., None] > 0, 1.0 - mean[..., 3:4], 0.0)
         chans.append(_minmax_u8(_dilate3(dimg), joint_axes=(1, 2, 3)))
-        if num_channels == 15:
-            ssum, scnt = proj_sh[pi]
+        if with_shadow:
+            ssum = blocks[:, 15 + 2 * pi]
+            scnt = blocks[:, 16 + 2 * pi]
             smean = ssum / jnp.maximum(scnt, 1.0)
             nonzero = scnt > 0
             mx = jnp.max(jnp.where(nonzero, smean, -jnp.inf), axis=(1, 2),
@@ -552,8 +686,24 @@ def _raster_kernel(unit, inside, nrm_hand, shadow_unit, shadow_inside,
     absn = jnp.abs(nrm_hand)
 
     if _use_pallas() and num_channels in (12, 15):
-        return _raster_multiproj_shared(unit, inside, absn, shadow_unit,
-                                        shadow_inside, size, num_channels)
+        # Channel-minor entry into the fused-kernel path (used by tests and
+        # the on-chip equivalence gate; the serving path assembles
+        # channel-major operands directly in make_images).
+        midx, mvals = _cm_operands(
+            unit[..., 0].astype(jnp.float32), unit[..., 1].astype(jnp.float32),
+            unit[..., 2].astype(jnp.float32), inside,
+            [absn[..., 0], absn[..., 1], absn[..., 2]], size)
+        if num_channels == 15:
+            sidx, svals0 = _cm_operands(
+                shadow_unit[..., 0], shadow_unit[..., 1], shadow_unit[..., 2],
+                shadow_inside, [], size)
+            svals = svals0
+        else:
+            sidx = jnp.zeros((G, 4, 128), jnp.int32)
+            svals = jnp.zeros((G, 3, 128), jnp.bfloat16)
+        raw = _raster_blocks_pallas(midx, mvals, sidx, svals, size,
+                                    num_channels == 15)
+        return _raster_finish(raw, size, num_channels)
 
     n_proj = 3 if num_channels in (12, 15) else 1
     chans = []
@@ -617,9 +767,59 @@ def make_images(nn_pts, nn_nrm, nn_valid, hand_R, hand_sample, hand_bottom,
 
     Returns (G, size, size, num_channels) uint8.
     """
-    rel = nn_pts - hand_sample[:, None, :]
-    pts_hand = jnp.einsum("gkj,gji->gki", rel, hand_R, precision=jax.lax.Precision.HIGHEST)
-    nrm_hand = jnp.einsum("gkj,gji->gki", nn_nrm, hand_R, precision=jax.lax.Precision.HIGHEST)
+    hp = jax.lax.Precision.HIGHEST
+    if _use_pallas() and image.num_channels in (12, 15):
+        # Channel-MAJOR pipeline: the transform einsums emit (G, 3, K)
+        # directly (XLA folds the transpose into the dot's output layout),
+        # so the fused raster kernel's operand stacks assemble with no
+        # relayout copies — the (G, K, 3)->(G, Cp, K) transposes cost
+        # ~1.6 ms/chunk of pure copy in profiler traces.
+        size = image.size
+        G = nn_valid.shape[0]
+        if nn_pts.ndim == 2:
+            # Shared (identity) neighborhood: R^T (p - s) = R^T p - R^T s,
+            # so the whole cloud rotates in ONE batched dot with no
+            # per-hand broadcast of the (N, 3) arrays.
+            pts_cm = jnp.einsum("kj,gji->gik", nn_pts, hand_R, precision=hp)
+            t = jnp.einsum("gj,gji->gi", hand_sample, hand_R, precision=hp)
+            pts_cm = pts_cm - t[:, :, None]
+            nrm_cm = jnp.einsum("kj,gji->gik", nn_nrm, hand_R, precision=hp)
+        else:
+            rel = nn_pts - hand_sample[:, None, :]
+            pts_cm = jnp.einsum("gkj,gji->gik", rel, hand_R, precision=hp)
+            nrm_cm = jnp.einsum("gkj,gji->gik", nn_nrm, hand_R, precision=hp)
+        u, v, w, ins = _unit_transform_cm(
+            pts_cm[:, 0], pts_cm[:, 1], pts_cm[:, 2], hand_bottom,
+            hand_center, image)
+        ins = ins & nn_valid & hand_valid[:, None]
+        absn = jnp.abs(nrm_cm)
+        midx, mvals = _cm_operands(
+            u, v, w, ins, [absn[:, 0], absn[:, 1], absn[:, 2]], size)
+        if image.num_channels == 15:
+            srel = shadow_pts - hand_sample[:, None, :]
+            sh_cm = jnp.einsum("gkj,gji->gik", srel, hand_R, precision=hp)
+            su, sv, sw, sins = _unit_transform_cm(
+                sh_cm[:, 0], sh_cm[:, 1], sh_cm[:, 2], hand_bottom,
+                hand_center, image)
+            sins = sins & shadow_valid & hand_valid[:, None]
+            sidx, svals = _cm_operands(su, sv, sw, sins, [], size)
+        else:
+            sidx = jnp.zeros((G, 4, 128), jnp.int32)
+            svals = jnp.zeros((G, 3, 128), jnp.bfloat16)
+        raw = _raster_blocks_pallas(midx, mvals, sidx, svals, size,
+                                    image.num_channels == 15)
+        return _raster_finish(raw, size, image.num_channels)
+
+    if nn_pts.ndim == 2:
+        # Shared (identity) neighborhood (see the channel-major branch).
+        pts_hand = jnp.einsum("kj,gji->gki", nn_pts, hand_R, precision=hp)
+        t = jnp.einsum("gj,gji->gi", hand_sample, hand_R, precision=hp)
+        pts_hand = pts_hand - t[:, None, :]
+        nrm_hand = jnp.einsum("kj,gji->gki", nn_nrm, hand_R, precision=hp)
+    else:
+        rel = nn_pts - hand_sample[:, None, :]
+        pts_hand = jnp.einsum("gkj,gji->gki", rel, hand_R, precision=hp)
+        nrm_hand = jnp.einsum("gkj,gji->gki", nn_nrm, hand_R, precision=hp)
     unit, ins = _unit_transform(pts_hand, hand_bottom, hand_center, image)
     ins = ins & nn_valid & hand_valid[:, None]
 

@@ -111,19 +111,41 @@ def reverse_normals_cloud(cloud: CloudArrays) -> CloudArrays:
                        view_points=cloud.view_points)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def refine_normals(points, normals, mask, k: int = 10):
-    """Normal refinement analogous to pcl::NormalRefinement
-    (reference: cloud.cpp:176-204): one smoothing iteration averaging each
-    normal with its k nearest neighbors' normals (sign-aligned)."""
+@functools.partial(jax.jit, static_argnames=("k", "max_iterations"))
+def refine_normals(points, normals, mask, k: int = 10,
+                   max_iterations: int = 15,
+                   convergence_rms: float = 1e-4):
+    """pcl::NormalRefinement semantics (reference: cloud.cpp:176-204 calls
+    it with k-NN indices and default parameters): ITERATIVE smoothing — per
+    iteration every normal becomes the normalized uniform-weight average of
+    its k nearest neighbors' previous-iteration normals (PCL's
+    assignNormalWeights is uniform; no sign alignment — the reference runs
+    this after viewpoint orientation, so signs are already consistent) —
+    for up to ``max_iterations`` (PCL default 15) or until the RMS normal
+    change drops below ``convergence_rms``. Neighbor sets are fixed across
+    iterations (PCL precomputes them once, cloud.cpp:178-183)."""
     # exact=True: refinement is a one-time preprocessing pass; identical
-    # neighbor sets across backends.
+    # neighbor sets across backends. nearestKSearch includes the query
+    # point itself (d=0), as does this.
     idx, valid = radius_neighbors(points, mask, points, mask, radius=1e5,
                                   k=k, exact=True)
-    nn = normals[idx]
-    sign = jnp.where(jnp.sum(nn * normals[:, None, :], axis=-1) < 0, -1.0, 1.0)
-    nn = nn * sign[..., None] * valid[..., None]
-    avg = jnp.sum(nn, axis=1)
-    nrm = jnp.linalg.norm(avg, axis=1, keepdims=True)
-    out = jnp.where(nrm > 1e-9, avg / jnp.maximum(nrm, 1e-9), normals)
-    return jnp.where(mask[:, None], out, normals)
+    vmaskf = valid[..., None].astype(normals.dtype)
+    n_pts = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+
+    def body(state):
+        it, cur, _ = state
+        avg = jnp.sum(cur[idx] * vmaskf, axis=1)
+        nrm = jnp.linalg.norm(avg, axis=1, keepdims=True)
+        new = jnp.where(nrm > 0.0, avg / jnp.maximum(nrm, 1e-20), cur)
+        new = jnp.where(mask[:, None], new, cur)
+        diff = new - cur
+        rms = jnp.sqrt(jnp.sum(diff * diff) / n_pts)
+        return it + 1, new, rms
+
+    def cond(state):
+        it, _, rms = state
+        return (it < max_iterations) & (rms >= convergence_rms)
+
+    _, out, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), normals, jnp.float32(jnp.inf)))
+    return out

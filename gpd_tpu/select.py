@@ -62,14 +62,19 @@ def filter_grasps_direction(grasps: Grasps, direction: Sequence[float],
     return dataclasses.replace(grasps, valid=valid)
 
 
-def select_top_k(grasps: Grasps, k: int) -> Tuple[Grasps, jax.Array]:
+def select_top_k(grasps: Grasps, k: int, out_cap: int = 0
+                 ) -> Tuple[Grasps, jax.Array]:
     """Top-k by score among valid grasps (grasp_detector.cpp:405-420).
     Returns (grasps reordered score-descending with only top-k valid,
-    the permutation applied)."""
+    the full permutation). ``out_cap`` > 0 truncates the RETURNED batch to
+    its leading out_cap rows (>= k): the downstream consumer only ever
+    looks at the selected heads, and gathering the whole candidate-capacity
+    pytree just to reorder it dominated the selection stage."""
     scores = jnp.where(grasps.valid, grasps.score, -jnp.inf)
     order = jnp.argsort(-scores, stable=True)
-    g = grasps.take(order)
-    keep = jnp.arange(g.capacity) < k
+    cap = grasps.capacity if out_cap <= 0 else min(out_cap, grasps.capacity)
+    g = grasps.take(order[:cap])
+    keep = jnp.arange(cap) < k
     return dataclasses.replace(g, valid=g.valid & keep), order
 
 

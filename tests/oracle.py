@@ -245,3 +245,29 @@ def oracle_eval_hand_set(points, normals, sample, frame, angles, hand_axes,
                     rec["half"] = label >= 1
             results.append(rec)
     return results
+
+
+def oracle_refine_normals(points, normals, k=10, max_iterations=15,
+                          convergence_rms=1e-4):
+    """pcl::NormalRefinement transcription (called by cloud.cpp:176-204 with
+    k-NN indices from nearestKSearch, default filter parameters): per
+    iteration each normal becomes the normalized uniform-weight average of
+    its k nearest neighbors' previous-iteration normals (self included, no
+    sign alignment); stop after max_iterations or when the RMS normal
+    change drops below convergence_rms."""
+    n = len(points)
+    d2 = np.sum((points[:, None, :] - points[None, :, :]) ** 2, axis=-1)
+    idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    cur = normals.astype(np.float64).copy()
+    for _ in range(max_iterations):
+        new = cur.copy()
+        for i in range(n):
+            avg = cur[idx[i]].sum(axis=0)
+            nrm = np.linalg.norm(avg)
+            if nrm > 0:
+                new[i] = avg / nrm
+        rms = np.sqrt(np.sum((new - cur) ** 2) / n)
+        cur = new
+        if rms < convergence_rms:
+            break
+    return cur

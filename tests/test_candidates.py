@@ -232,6 +232,36 @@ class TestSampleBlocking:
         np.testing.assert_array_equal(np.asarray(g1.full_antipodal),
                                       np.asarray(g2.full_antipodal))
 
+    def test_sub128_blocks_identity_match(self, rng, monkeypatch):
+        """Very large K (identity search on >32k-point clouds) shrinks the
+        sample block below 128 rows; the sub-128 blocked path must be
+        bit-identical to the single-block identity path. (Emulated by
+        shrinking the budget: blk = _BLOCK_ELEMS // (M*K) < 128.)"""
+        pts, nrm = make_slab_cloud(rng, n=900)
+        cloud = CloudArrays.from_numpy(pts, normals=nrm)
+        n_cap = cloud.capacity
+        # Identity search: cap covers the whole (padded) cloud.
+        cfg = DetectorConfig(search_neighbors_cap=n_cap,
+                             frame_neighbors_cap=32)
+        spos = jnp.asarray(pts[:300])
+        smask = jnp.ones(300, bool)
+
+        g1 = cand.search_hands(cloud, spos, smask, cfg)
+        cand._search_kernel.clear_cache()
+        # Budget for 24-row blocks at this K: exercises the blk < 128 branch.
+        monkeypatch.setattr(cand, "_BLOCK_ELEMS", 8 * 24 * n_cap)
+        g2 = cand.search_hands(cloud, spos, smask, cfg)
+        cand._search_kernel.clear_cache()
+
+        np.testing.assert_array_equal(np.asarray(g1.valid),
+                                      np.asarray(g2.valid))
+        v = np.asarray(g1.valid)
+        assert v.sum() > 0
+        np.testing.assert_allclose(np.asarray(g1.position)[v],
+                                   np.asarray(g2.position)[v], atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(g1.full_antipodal),
+                                      np.asarray(g2.full_antipodal))
+
     def test_blocked_skips_invalid_samples(self, rng, monkeypatch):
         """With a sparse sample mask the blocked path reorders valid-first
         and cond-skips all-invalid blocks; results for valid samples must

@@ -258,6 +258,44 @@ class TestNormals:
                               cloud.cam_source, cloud.view_points)
         np.testing.assert_allclose(np.asarray(out)[0], [0, 0, -1.0])
 
+    def test_refine_normals_vs_oracle(self, rng):
+        """refine_normals must match the literal NumPy transcription of
+        pcl::NormalRefinement (iterative k-NN uniform averaging with RMS
+        convergence) as invoked by cloud.cpp:176-204."""
+        from oracle import oracle_refine_normals
+        from gpd_tpu.ops.normals import refine_normals
+        import jax.numpy as jnp
+
+        n = 200
+        pts = rng.uniform(-0.05, 0.05, size=(n, 3)).astype(np.float32)
+        nrm = rng.normal(size=(n, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+
+        want = oracle_refine_normals(pts, nrm, k=10)
+        got = refine_normals(jnp.asarray(pts), jnp.asarray(nrm),
+                             jnp.ones(n, bool), k=10)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+    def test_refine_normals_smooths(self, rng):
+        """On a noisy plane, iterative refinement must tighten normal
+        alignment with the true plane normal."""
+        from gpd_tpu.ops.normals import refine_normals
+        import jax.numpy as jnp
+
+        n = 400
+        pts = np.zeros((n, 3), np.float32)
+        pts[:, :2] = rng.uniform(-0.05, 0.05, size=(n, 2))
+        true = np.array([0, 0, 1.0])
+        nrm = true[None, :] + rng.normal(0, 0.3, size=(n, 3))
+        nrm = (nrm / np.linalg.norm(nrm, axis=1, keepdims=True)
+               ).astype(np.float32)
+        out = np.asarray(refine_normals(jnp.asarray(pts), jnp.asarray(nrm),
+                                        jnp.ones(n, bool), k=10))
+        before = np.mean(nrm @ true)
+        after = np.mean(out @ true)
+        assert after > before
+        assert after > 0.99
+
 
 class TestPlane:
     def test_plane_extraction(self, rng):

@@ -175,12 +175,50 @@ def main():
                     center=z, width=z, mid=z.astype(jnp.int32),
                     valid=z > 0.5, full=z > 0.5, half=z > 0.5)
 
+    # Pallas-only stubs: keep the operand builds (rows/cols/aug) LIVE via a
+    # cheap consumption, drop only the onehot-matmul kernels — isolates the
+    # kernels' in-situ cost from the XLA-side index/value construction.
+    def stub_pallas1(rows, cols, aug, size,
+                     precision=None):
+        G = rows.shape[0]
+        Cp = aug.shape[-1]
+        tick = (jnp.sum(rows[:, :1].astype(jnp.float32), axis=1)
+                + jnp.sum(cols[:, :1].astype(jnp.float32), axis=1)
+                + jnp.sum(aug[:, 0, :], axis=1))
+        return jnp.zeros((G, size, size, Cp), jnp.float32) \
+            + tick[:, None, None, None] * 0.0 + 1.0
+
+    def stub_pallas2(rows_a, rows_b, cols, aug, size,
+                     precision=None):
+        G = rows_a.shape[0]
+        Cp = aug.shape[-1]
+        tick = (jnp.sum(rows_a[:, :1].astype(jnp.float32), axis=1)
+                + jnp.sum(rows_b[:, :1].astype(jnp.float32), axis=1)
+                + jnp.sum(cols[:, :1].astype(jnp.float32), axis=1)
+                + jnp.sum(aug[:, 0, :], axis=1))
+        return jnp.zeros((G, 2, size, size, Cp), jnp.float32) \
+            + tick[:, None, None, None, None] * 0.0 + 1.0
+
+    def stub_blocks(midx, mvalsT, sidx, svalsT, size, with_shadow):
+        G = midx.shape[0]
+        R = -(-(size + 1) // 8) * 8
+        NB = 21 if with_shadow else 15
+        tick = (jnp.sum(midx[:, 0, :1].astype(jnp.float32), axis=1)
+                + jnp.sum(mvalsT[:, 0, :].astype(jnp.float32), axis=1)
+                + jnp.sum(sidx[:, 0, :1].astype(jnp.float32), axis=1)
+                + jnp.sum(svalsT[:, 0, :].astype(jnp.float32), axis=1))
+        return jnp.zeros((G, NB, R, R), jnp.float32) \
+            + tick[:, None, None, None] * 0.0 + 1.0
+
     variants = [("full", {})]
     variants.append(("no_lenet", {"score": stub_score}))
     variants.append(("no_images", {"make_images": stub_make_images}))
     variants.append(("no_shadows", {"shadows": stub_shadows}))
     variants.append(("shadow_nosort", {"shadows": nosort_shadows}))
     variants.append(("no_raster", {"raster": stub_raster}))
+    variants.append(("no_raster_mm", {"pallas1": stub_pallas1,
+                                      "pallas2": stub_pallas2,
+                                      "pallas_blocks": stub_blocks}))
     variants.append(("no_lenet+images", {"score": stub_score,
                                          "make_images": stub_make_images}))
     variants.append(("search_no_topk", {"search_nn": stub_radius_neighbors}))
@@ -200,6 +238,15 @@ def main():
             if "raster" in stubs:
                 st.enter_context(
                     patched(img_mod, "_raster_kernel", stubs["raster"]))
+            if "pallas1" in stubs:
+                st.enter_context(patched(img_mod, "_raster_sums_pallas",
+                                         stubs["pallas1"]))
+            if "pallas2" in stubs:
+                st.enter_context(patched(img_mod, "_raster_sums_pallas2",
+                                         stubs["pallas2"]))
+            if "pallas_blocks" in stubs:
+                st.enter_context(patched(img_mod, "_raster_blocks_pallas",
+                                         stubs["pallas_blocks"]))
             if "search_nn" in stubs:
                 st.enter_context(patched(cand_mod, "radius_neighbors",
                                          stubs["search_nn"]))
@@ -215,6 +262,8 @@ def main():
                 f.clear_cache()
             if hasattr(img_mod.make_images, "clear_cache"):
                 img_mod.make_images.clear_cache()
+            if hasattr(img_mod._raster_kernel, "clear_cache"):
+                img_mod._raster_kernel.clear_cache()
             t = timeit(step)
         if base is None:
             base = t

@@ -154,11 +154,20 @@ def main():
                                num_selected=100, sample_above_plane=True)
     workloads.append(("table_mug @ 5000 samples + clustering",
                       "/root/reference/tutorials/table_mug.pcd", cfg2))
+    # >32k-point fixture: three x-shifted copies of table_mug (~48k
+    # processed points). Exercises the blocked identity search past the old
+    # search_identity_max=32768 boundary, where the previous fallback was a
+    # lossy nearest-4096 cap (104 candidate flips on even a 16k cloud).
+    raw_tm = load_pcd("/root/reference/tutorials/table_mug.pcd")
+    raw_x3 = np.concatenate([raw_tm + np.array([dx, 0, 0], np.float32)
+                             for dx in (-0.35, 0.0, 0.35)])
+    workloads.append(("table_mug x3 @ 5000 samples (>32k identity)",
+                      raw_x3, cfg2))
 
     summary = []
     for name, pcd, wcfg in workloads:
         det = GraspDetector(wcfg)
-        pts = load_pcd(pcd)
+        pts = pcd if isinstance(pcd, np.ndarray) else load_pcd(pcd)
         cloud = det.preprocess_cloud(pts,
                                      view_points=np.zeros((1, 3), np.float32))
         ecfg = det.effective_config(cloud)
@@ -188,9 +197,46 @@ def main():
 
         summary.append((name, compare(name, shipped, exact, lines)))
 
+        if cloud.capacity > 32768:
+            # Extra gates for the big-cloud identity path:
+            #  (a) legacy fallback (nearest-K at search_neighbors_cap=4096,
+            #      what shipped before search_identity_max was raised) —
+            #      expected to FLIP candidates vs the uncapped result;
+            #  (b) an alternate sample-block size — expected XOR 0 (the
+            #      blocked identity evaluation is blocking-invariant).
+            from gpd_tpu.detector import candidates_stage
+            from gpd_tpu.ops import candidates as cand_mod
+
+            legacy_cfg = dataclasses.replace(
+                wcfg, search_identity_max=0, search_neighbors_cap=4096)
+            legacy = candidates_stage(cloud, spos, smask, legacy_cfg)
+            legacy_valid = np.asarray(legacy.valid)
+            legacy_xor = int(np.sum(legacy_valid != shipped["cand_valid"]))
+
+            old_budget = cand_mod._BLOCK_ELEMS
+            cand_mod._BLOCK_ELEMS = old_budget // 4
+            jax.clear_caches()
+            reblocked = candidates_stage(cloud, spos, smask, ecfg)
+            reblock_xor = int(np.sum(np.asarray(reblocked.valid)
+                                     != shipped["cand_valid"]))
+            cand_mod._BLOCK_ELEMS = old_budget
+            jax.clear_caches()
+
+            lines.append(f"- legacy nearest-4096 fallback XOR vs uncapped "
+                         f"identity: **{legacy_xor}** (the old "
+                         f">search_identity_max behavior — the loss the "
+                         f"raised limit removes)")
+            lines.append(f"- alternate block size (budget/4) XOR: "
+                         f"**{reblock_xor}** (expected 0)")
+            lines.append("")
+            summary[-1][1]["reblock_xor"] = reblock_xor
+            print(f"# {name}: legacy-cap XOR {legacy_xor}, reblock XOR "
+                  f"{reblock_xor}", file=sys.stderr)
+
     lines.append("## Verdict")
     lines.append("")
-    ok = all(s["xor"] == 0 and s["overlap"] == 10 for _, s in summary)
+    ok = all(s["xor"] == 0 and s["overlap"] == 10
+             and s.get("reblock_xor", 0) == 0 for _, s in summary)
     for name, s in summary:
         lines.append(f"- {name}: candidate XOR {s['xor']}, top-10 "
                      f"{s['overlap']}/10, frame drift {s['fdrift']:.1e}")
