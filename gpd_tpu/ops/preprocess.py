@@ -98,20 +98,46 @@ def voxelize(cloud: CloudArrays, cell_size: float) -> CloudArrays:
                        view_points=cloud.view_points)
 
 
-@functools.partial(jax.jit, static_argnames=("mean_k", "k_cap"))
-def _outlier_kernel(points, mask, mean_k: int, stddev_mult, k_cap: int):
-    # Distances to the mean_k nearest neighbors (excluding self).
-    # exact=True: one-time preprocessing cost; keeps the outlier set
-    # identical across backends.
-    idx, valid = radius_neighbors(points, mask, points, mask,
-                                  radius=1e5, k=k_cap, exact=True)
-    nn = points[idx]
-    d = jnp.linalg.norm(nn - points[:, None, :], axis=-1)
-    # First entry is the point itself (d=0); use entries 1..mean_k.
-    d_k = d[:, 1:mean_k + 1]
-    v_k = valid[:, 1:mean_k + 1]
-    mean_d = jnp.sum(jnp.where(v_k, d_k, 0.0), axis=1) / \
-        jnp.maximum(jnp.sum(v_k, axis=1), 1)
+@functools.partial(jax.jit, static_argnames=("mean_k", "block"))
+def _outlier_kernel(points, mask, mean_k: int, stddev_mult,
+                    block: int = 1024):
+    # Mean distance to the mean_k nearest neighbors (excluding self),
+    # gather-free: the blocked distance matmul's top_k VALUES are the
+    # neighbor distances directly — no (N, k, 3) index gather / renorm
+    # (gathers are lane-bound; at the 65k serve buckets the old gather
+    # path dominated). exact top_k keeps the outlier set identical across
+    # backends (one-time preprocessing cost).
+    n = points.shape[0]
+    p2 = jnp.sum(points * points, axis=1)
+
+    def one_block(bq, bm):
+        q2 = jnp.sum(bq * bq, axis=1)
+        cross = jnp.matmul(bq, points.T,
+                           precision=jax.lax.Precision.HIGHEST)
+        d2 = q2[:, None] + p2[None, :] - 2.0 * cross
+        d2 = jnp.where(mask[None, :] & bm[:, None], d2, jnp.float32(1e12))
+        neg, _ = jax.lax.top_k(-d2, mean_k + 1)
+        d2k = -neg                                 # ascending; [0] = self
+        v_k = d2k[:, 1:] < 1e11
+        d_k = jnp.sqrt(jnp.maximum(d2k[:, 1:], 0.0))
+        return jnp.sum(jnp.where(v_k, d_k, 0.0), axis=1) / \
+            jnp.maximum(jnp.sum(v_k, axis=1), 1)
+
+    if n <= block:
+        mean_d = one_block(points, mask)
+    else:
+        nblk = -(-n // block)
+        pad = nblk * block - n
+        qp = jnp.pad(points, ((0, pad), (0, 0)), constant_values=1e6)
+        qm = jnp.pad(mask, (0, pad))
+
+        def body(carry, blk):
+            return carry, one_block(*blk)
+
+        _, md = jax.lax.scan(body, None, (qp.reshape(nblk, block, 3),
+                                          qm.reshape(nblk, block)))
+        mean_d = md.reshape(-1)[:n]
+
     mvalid = mask
     mu = jnp.sum(jnp.where(mvalid, mean_d, 0.0)) / jnp.maximum(jnp.sum(mvalid), 1)
     var = jnp.sum(jnp.where(mvalid, (mean_d - mu) ** 2, 0.0)) / \
@@ -126,7 +152,7 @@ def remove_statistical_outliers(cloud: CloudArrays, mean_k: int = 50,
     drop points whose mean distance to their mean_k nearest neighbors exceeds
     global mean + stddev_mult * stddev."""
     keep = _outlier_kernel(cloud.points, cloud.mask, mean_k,
-                           jnp.float32(stddev_mult), mean_k + 1)
+                           jnp.float32(stddev_mult))
     return _apply_mask(cloud, keep)
 
 

@@ -297,6 +297,48 @@ class TestNormals:
         assert after > 0.99
 
 
+class TestOutlierRemoval:
+    def test_vs_numpy_oracle(self, rng):
+        """remove_statistical_outliers must match a literal NumPy
+        transcription of PCL StatisticalOutlierRemoval (cloud.cpp:166-174:
+        meanK=50, stddev_mult=1.0)."""
+        from gpd_tpu.ops.preprocess import remove_statistical_outliers
+
+        n = 600
+        pts = rng.normal(0, 0.02, size=(n, 3)).astype(np.float32)
+        pts[:20] += rng.uniform(0.3, 0.5, size=(20, 3)).astype(np.float32)
+        cloud = CloudArrays.from_numpy(pts)
+
+        # NumPy oracle.
+        d = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+        d_sorted = np.sort(d, axis=1)
+        mean_d = d_sorted[:, 1:51].mean(axis=1)
+        thresh = mean_d.mean() + 1.0 * mean_d.std()
+        want_keep = mean_d <= thresh
+
+        out = remove_statistical_outliers(cloud)
+        got = int(np.asarray(out.mask).sum())
+        assert got == int(want_keep.sum())
+        # The kept set itself must match: compacted points == oracle-kept.
+        kept = np.asarray(out.points)[np.asarray(out.mask)]
+        np.testing.assert_allclose(
+            np.sort(kept.ravel()), np.sort(pts[want_keep].ravel()),
+            rtol=1e-6)
+
+    def test_blocked_matches_single(self, rng, monkeypatch):
+        """The query-blocked path (big clouds) equals the single-block
+        result."""
+        from gpd_tpu.ops import preprocess as pp
+
+        pts = rng.normal(0, 0.02, size=(700, 3)).astype(np.float32)
+        cloud = CloudArrays.from_numpy(pts)
+        a = np.asarray(pp._outlier_kernel(cloud.points, cloud.mask, 50,
+                                          np.float32(1.0)))
+        b = np.asarray(pp._outlier_kernel(cloud.points, cloud.mask, 50,
+                                          np.float32(1.0), block=128))
+        np.testing.assert_array_equal(a, b)
+
+
 class TestPlane:
     def test_plane_extraction(self, rng):
         plane = rng.uniform(-0.1, 0.1, size=(3000, 3)).astype(np.float32)

@@ -96,9 +96,13 @@ def run_workload(name, pcd_path, wcfg, lines, summary):
         np.asarray(c1.position)[v1] - np.asarray(c2.position)[:v1.size][v1]
     ))) if v1.any() else 0.0
 
-    # Full-pipeline geometry parity + latency.
+    # Full-pipeline geometry parity + latency. detect_sharded_raw scores
+    # shard d with fold_in(key, d); on a 1-device mesh the direct path can
+    # use the identical stream (fold_in(key, 0)), making the comparison
+    # bit-for-bit — selection included.
     def direct_step(k):
-        g, _ = detect_core(cloud, spos, smask, det.params, k, cfg, cap,
+        g, _ = detect_core(cloud, spos, smask, det.params,
+                           jax.random.fold_in(k, 0), cfg, cap,
                            scores_only=True)
         return select_and_cluster(g, cfg)
 
