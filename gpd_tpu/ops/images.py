@@ -643,24 +643,27 @@ def _raster_finish(blocks, size: int, num_channels: int):
 
     (An NCHW assembly that dilated the full zero-masked blocks without
     relayout was tried and measured SLOWER — the channel-first (G, C, 64,
-    64) elementwise/window ops underuse the 128-lane VPU; the NHWC copies
-    the moveaxis costs are the cheaper relayout on this backend.)"""
+    64) elementwise/window ops underuse the 128-lane VPU; one NHWC
+    relayout is the cheaper option on this backend. EVERY consumer reads
+    through the same block-minor moveaxis so XLA emits ONE layout copy of
+    the kernel output, not one per consumer layout — traces showed two
+    full-tensor copies when the mean channels took an NHWC view while the
+    shadow/count blocks read the NCHW view directly.)"""
     with_shadow = num_channels == 15
-    blocks = blocks[..., :size, :size]
+    nb = jnp.moveaxis(blocks[..., :size, :size], 1, -1)  # (G, s, s, NB)
 
     chans = []
     for pi in range(3):
-        blk = blocks[:, 5 * pi:5 * pi + 5]
-        cnt = blk[:, 4]
-        mean = jnp.moveaxis(blk[:, :4], 1, -1) / \
-            jnp.maximum(cnt, 1.0)[..., None]
+        b = 5 * pi
+        cnt = nb[..., b + 4:b + 5]
+        mean = nb[..., b:b + 4] / jnp.maximum(cnt, 1.0)
         nimg = _dilate3(mean[..., 0:3])
         chans.append(_minmax_u8(nimg, joint_axes=(1, 2, 3)))
-        dimg = jnp.where(cnt[..., None] > 0, 1.0 - mean[..., 3:4], 0.0)
+        dimg = jnp.where(cnt > 0, 1.0 - mean[..., 3:4], 0.0)
         chans.append(_minmax_u8(_dilate3(dimg), joint_axes=(1, 2, 3)))
         if with_shadow:
-            ssum = blocks[:, 15 + 2 * pi]
-            scnt = blocks[:, 16 + 2 * pi]
+            ssum = nb[..., 15 + 2 * pi]
+            scnt = nb[..., 16 + 2 * pi]
             smean = ssum / jnp.maximum(scnt, 1.0)
             nonzero = scnt > 0
             mx = jnp.max(jnp.where(nonzero, smean, -jnp.inf), axis=(1, 2),

@@ -101,8 +101,9 @@ def main():
                          shadow_pts=None, shadow_valid=None):
         G = hand_valid.shape[0]
         # depend on one scalar per input so neighborhoods/transforms are
-        # not *entirely* DCE'd away (we want to ablate only the raster)
-        tick = (jnp.sum(nn_pts[:, 0, 0]) + jnp.sum(nn_nrm[:, 0, 0])).astype(
+        # not *entirely* DCE'd away (we want to ablate only the raster).
+        # Identity neighborhoods pass the SHARED (N, 3) cloud (2-D).
+        tick = (jnp.sum(nn_pts[..., 0]) + jnp.sum(nn_nrm[..., 0])).astype(
             jnp.uint8)
         return jnp.full((G, image.size, image.size, image.num_channels),
                         tick, jnp.uint8)

@@ -246,6 +246,40 @@ def main():
         if ok else
         "**DELTAS PRESENT**: see above; pin recall/k or widen exactness.")
 
+    # Preserve the historical hand-search strategy A/B (r4,
+    # tools/bench_search.py) — it is the evidence base for the identity-
+    # neighborhood design and must survive regeneration of this file.
+    lines += [
+        "",
+        "## Hand-search neighborhood strategy A/B "
+        "(tools/bench_search.py, on-chip, r4)",
+        "",
+        "table_mug @ 5000 samples, full pipeline; \"valid-XOR\" counts "
+        "candidate",
+        "validity flips vs the uncapped identity baseline:",
+        "",
+        "| strategy | candidates | full pipeline | cand/s | valid-XOR |",
+        "|---|---|---|---|---|",
+        "| identity-16384 (shipped) | 72.6 ms | 258.8 ms | 154,566 | 0 |",
+        "| exact nearest-8192 | 151.5 ms | 343.7 ms | 116,369 | 0 |",
+        "| exact nearest-6144 | 173.5 ms | 365.4 ms | 109,456 | 0 |",
+        "| exact nearest-4096 | 93.9 ms | 284.2 ms | 140,761 | **104** |",
+        "",
+        "The identity path (whole cloud + in-radius mask, no sort, no "
+        "gather) is",
+        "both the fastest and the only strategy with zero deviation "
+        "headroom: the",
+        "search-ball p99 on this scene is ~5.7k points, so nearest-4096 "
+        "truncates",
+        "real neighborhoods. In r5 the identity path tiles the sample axis "
+        "down to",
+        "8-row blocks so it runs UNCAPPED at any cloud size "
+        "(search_identity_max=131072);",
+        "the >32k workload above shows the retired nearest-4096 fallback "
+        "would flip",
+        "211 candidates on a 48k-point scene.",
+    ]
+
     out_path = os.path.join(REPO, "NEIGHBORS_TPU.md")
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
