@@ -36,7 +36,7 @@ def _sync(tree):
     return np.asarray(leaf.ravel()[:1])
 
 
-def bench_workload(det, cloud, cfg, n_iters=10):
+def bench_workload(det, cloud, cfg, n_iters=20):
     """Times the fused detect_core + select_and_cluster pipeline at the
     detector's sample set. Returns (cand_per_sec, p50_latency_s, warmup_s,
     n_candidates, n_valid)."""

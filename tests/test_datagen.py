@@ -61,6 +61,33 @@ class TestWriter:
         assert not np.array_equal(vals, np.arange(20))
         w.close()
 
+    def test_shuffle_streaming_blocks_keep_pairing(self, tmp_path, rng):
+        """The streaming monotonic-gather shuffle (block << n) must apply
+        ONE joint permutation: (image, label) pairs stay together, the
+        writer stays usable (append after shuffle), and a small block size
+        gives the same permutation as one big block."""
+        a = str(tmp_path / "a.h5")
+        b = str(tmp_path / "b.h5")
+        imgs = np.arange(50, dtype=np.uint8)[:, None, None, None] * \
+            np.ones((50, 60, 60, 3), np.uint8)
+        lbls = np.arange(50, dtype=np.uint8)
+        for path, block in ((a, 7), (b, 20000)):
+            w = HDF5ShardWriter(path, 60, 3)
+            w.append("o", 0, imgs, lbls)
+            w.shuffle_in_place(seed=5, block=block)
+            iv = w.h5["images"][:, 0, 0, 0]
+            lv = w.h5["labels"][:, 0]
+            np.testing.assert_array_equal(iv, lv)   # pairing preserved
+            assert sorted(iv.tolist()) == list(range(50))
+            # Writer still usable post-rename.
+            w.append("o", 1, imgs[:3], lbls[:3])
+            assert w.h5["labels"].shape[0] == 53
+            w.close()
+        import h5py
+        with h5py.File(a) as fa, h5py.File(b) as fb:
+            np.testing.assert_array_equal(fa["labels"][:50],
+                                          fb["labels"][:50])
+
     def test_compatible_with_train_loader(self, tmp_path, rng):
         from gpd_tpu.net.train import HDF5Dataset
         path = str(tmp_path / "t.h5")
