@@ -226,18 +226,23 @@ class DetectorConfig:
                                       # search ball; nearest-K covers it)
     normals_neighbors_cap: int = 128  # K for normal estimation
     shadow_voxel_cap: int = 2048     # max unique shadow voxels per sample
-    shadow_source_cap: int = 248     # max neighborhood points casting shadows.
-                                     # Occupancy saturates fast: 248 sources
-                                     # x 33 ray points = 8184 candidate voxels
-                                     # of which ~3-5k are unique on the bench
-                                     # scenes — still well above the
-                                     # 2048-voxel cap, so the kept subset has
-                                     # the same size and (hash-uniform) spread
-                                     # as with more sources. The dedup sort is
-                                     # the single most expensive part of the
-                                     # 15ch descriptor stage and its cost is
-                                     # superlinear in width (bitonic): 8184
-                                     # wide is >2x cheaper than r3's 16368.
+    shadow_source_cap: int = 184     # max neighborhood points casting shadows.
+                                     # Occupancy saturates fast: 184 sources
+                                     # x 33 ray points = 6072 candidate voxels
+                                     # whose unique count still fills the
+                                     # 2048-voxel cap for 100% of samples on
+                                     # BOTH bench workloads (r5 sweep: 128
+                                     # sources under-fill — 23%/82%
+                                     # saturation — while 184 matches 248
+                                     # exactly), so the kept subset keeps its
+                                     # size and hash-uniform spread. The
+                                     # dedup sort is the biggest descriptor
+                                     # line on big scenes (~17 ms of
+                                     # table_mug's 252 ms at width 8184) and
+                                     # its cost is superlinear in width
+                                     # (bitonic): 6072 is ~35% cheaper than
+                                     # 8184, which was >2x cheaper than r3's
+                                     # 16368.
 
     @property
     def hand_search_radius(self) -> float:
