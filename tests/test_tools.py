@@ -86,3 +86,37 @@ def test_profiling_noop_and_trace(tmp_path, monkeypatch):
             jnp.ones(8).block_until_ready()
     import os
     assert os.path.isdir(d)
+
+
+def test_render_readme_updates_marked_table(tmp_path):
+    """tools/render_readme.py replaces exactly the marked table with rows
+    rendered from the bench JSON (the README<->BENCH consistency
+    mechanism)."""
+    import json
+    import subprocess
+    import sys
+
+    bench = {"value": 123456.7, "p50_latency_s": 0.0536,
+             "table_mug": {"candidates_per_sec": 160000.1,
+                           "p50_latency_s": 0.267},
+             "cem": {"total_s_p50": 0.23,
+                     "max_of_gaussians": {"total_s_p50": 0.246},
+                     "table_mug": {"total_s_p50": 0.203}},
+             "sharded": {"candidates_per_sec": 127000.0,
+                         "p50_latency_s": 0.054,
+                         "overhead_vs_direct_pct": 0.8}}
+    bpath = tmp_path / "bench.json"
+    bpath.write_text(json.dumps(bench))
+    rpath = tmp_path / "README.md"
+    rpath.write_text("head\n<!-- bench:begin -->\nOLD\n<!-- bench:end -->\n"
+                     "tail\n")
+    out = subprocess.run(
+        [sys.executable, "/root/repo/tools/render_readme.py", str(bpath),
+         str(rpath)], capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    text = rpath.read_text()
+    assert "OLD" not in text
+    assert "123,457 cand/s" in text
+    assert "160,000 cand/s" in text
+    assert "+0.8% vs direct" in text
+    assert text.startswith("head\n") and text.endswith("tail\n")
