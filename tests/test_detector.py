@@ -150,6 +150,21 @@ class TestTopK:
         want = set(np.round(np.sort(scores)[-5:], 5).tolist())
         assert got == want
 
+    def test_out_cap_truncates_to_head(self, rng):
+        """select_top_k(out_cap=m) must return exactly the leading m rows
+        of the full-capacity result (the serving path gathers only the
+        selected heads)."""
+        g = make_grasps(40, rng)
+        full, _ = sel.select_top_k(g, 5)
+        trunc, _ = sel.select_top_k(g, 5, out_cap=8)
+        assert trunc.capacity == 8
+        np.testing.assert_array_equal(np.asarray(trunc.valid),
+                                      np.asarray(full.valid)[:8])
+        np.testing.assert_allclose(np.asarray(trunc.position),
+                                   np.asarray(full.position)[:8])
+        np.testing.assert_allclose(np.asarray(trunc.score),
+                                   np.asarray(full.score)[:8])
+
 
 class TestEndToEnd:
     def test_krylon_full_pipeline(self, krylon_points):
