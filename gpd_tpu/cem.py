@@ -129,6 +129,76 @@ def draw_uniform_cloud_samples(key, points, pool_mask, workspace, n):
     return points[idx]
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "n_init", "n_iter", "n_gauss", "n_rand", "method", "image_cap"))
+def _cem_fused(cloud, params, key, cfg: DetectorConfig, n_init: int,
+               n_iter: int, n_gauss: int, n_rand: int, method: int,
+               image_cap: int, sigma, min_score):
+    """The whole single-device CEM run as ONE device program: round 0,
+    a lax.scan over the importance-sampling rounds (draw -> candidates ->
+    accumulate mixture centers at a carried offset), the per-round scoring
+    (lax.map), the score prune, and selection/clustering.
+
+    The Python round loop cost ~14 sequential dispatch round trips on the
+    remote backend (5-10 ms each — half the CEM total, and the source of
+    its ~20% session-to-session variance); this runs in ~3. The key-split
+    sequence replicates the unfused loop exactly, so results are
+    bit-identical to the Python-loop path (gated by test_cem)."""
+    M = cfg.num_orientations * len(cfg.hand_axes)
+    per = n_gauss + n_rand
+    cap0 = n_init * M
+    capr = per * M
+
+    # Round 0: uniform init samples (.cpp:71-78).
+    k0, key = jax.random.split(key)
+    idx, valid0 = pp.subsample_uniform(k0, cloud.mask, n_init)
+    spos0 = jnp.where(valid0[:, None], cloud.points[idx], 1e6)
+    kk, key = jax.random.split(key)
+    g0 = candidates_stage(cloud, spos0, valid0, cfg)
+    centers = jnp.zeros((cap0 + n_iter * capr, 3), jnp.float32)
+    cmask = jnp.zeros(cap0 + n_iter * capr, bool)
+    centers, cmask = _accum_centers(centers, cmask, g0.sample, g0.valid,
+                                    jnp.int32(0))
+
+    def round_body(carry, t):
+        centers, cmask, key = carry
+        kg, kd, key = jax.random.split(key, 3)
+        spos = _draw_round(kg, centers, cmask, cloud.points, cloud.mask,
+                           sigma, tuple(cfg.workspace), method, n_gauss,
+                           n_rand)
+        smask = jnp.ones(per, bool)
+        g = candidates_stage(cloud, spos, smask, cfg)
+        centers, cmask = _accum_centers(centers, cmask, g.sample, g.valid,
+                                        cap0 + t * capr)
+        return (centers, cmask, key), (g, spos, kd, jnp.sum(g.valid))
+
+    (_, _, _), (gs, sposs, kds, counts) = jax.lax.scan(
+        round_body, (centers, cmask, key), jnp.arange(n_iter))
+
+    # Classify once over all accumulated candidates
+    # (pruneGraspCandidates, grasp_detector.cpp:529-552); each round
+    # scores with its own sample context (neighborhoods are per-sample).
+    sg0, _ = score_candidates(cloud, g0, spos0, valid0, params, kk, cfg,
+                              image_cap, scores_only=True, canonical=True)
+
+    def score_one(args):
+        g, spos, kd = args
+        sg, _ = score_candidates(cloud, g, spos, jnp.ones(per, bool),
+                                 params, kd, cfg, image_cap,
+                                 scores_only=True, canonical=True)
+        return sg
+
+    sgs = jax.lax.map(score_one, (gs, sposs, kds))
+    merged = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate(
+            [a, b.reshape((n_iter * b.shape[1],) + b.shape[2:])]), sg0, sgs)
+    merged = dataclasses.replace(
+        merged, valid=merged.valid & (merged.score > min_score))
+    out = select_and_cluster(merged, cfg)
+    round_counts = jnp.concatenate([jnp.sum(g0.valid)[None], counts])
+    return out, round_counts
+
+
 class SequentialImportanceSampling:
     """CEM grasp detector (reference: include/gpd/
     sequential_importance_sampling.h)."""
@@ -144,6 +214,9 @@ class SequentialImportanceSampling:
         self.last_round_counts = []
         self.last_num_grasps = 0
         self.last_runtime_s = 0.0
+        # Test hook: force the Python round loop even without a mesh (the
+        # fused-vs-loop equivalence test uses it).
+        self._force_loop = False
 
     def detect(self, cloud: CloudArrays, key: Optional[jax.Array] = None,
                verbose: bool = True) -> Grasps:
@@ -155,6 +228,29 @@ class SequentialImportanceSampling:
         n_rand = int(cem.prob_rand_samples * cem.num_samples_per_iteration)
         n_gauss = cem.num_samples_per_iteration - n_rand
         sigma = cem.standard_deviation
+
+        if self.mesh is None and not self._force_loop:
+            # Single-device: the whole run is one fused program (same key
+            # sequence as the loop below -> identical results, ~3 dispatch
+            # round trips instead of ~14).
+            out, counts = _cem_fused(
+                cloud, self.detector.params, key, cfg,
+                cem.num_init_samples, cem.num_iterations, n_gauss, n_rand,
+                cem.sampling_method,
+                self.detector.image_cap(cem.num_samples_per_iteration),
+                jnp.float32(sigma), jnp.float32(cem.min_score))
+            counts = [int(c) for c in np.asarray(counts)]
+            n_final = int(np.asarray(out.valid).sum())
+            self.last_round_counts = counts
+            self.last_num_grasps = n_final
+            self.last_runtime_s = time.time() - t0
+            if verbose:
+                print(f"Initially detected grasp candidates: {counts[0]}")
+                for it, c in enumerate(counts[1:]):
+                    print(f"Added {c} grasp candidates in round {it}.")
+                print(f"Final result: found {n_final} grasps.")
+                print(f"Total runtime: {self.last_runtime_s:.4f}s")
+            return out
 
         # 1. Initial hypotheses at uniform samples (.cpp:71-78).
         k0, key = jax.random.split(key)

@@ -146,6 +146,36 @@ class TestSampling:
 
 
 class TestCEMDetect:
+    def test_fused_matches_loop(self, rng):
+        """The single-device fused CEM program (one jit: scan over rounds +
+        map over scoring) must reproduce the Python round loop exactly —
+        the key-split sequence is replicated, so every sample draw, score,
+        and selected grasp is identical."""
+        pts, nrm = cylinder_cloud(rng)
+        cloud = CloudArrays.from_numpy(pts, normals=nrm)
+        cfg = DetectorConfig(num_samples=16, search_neighbors_cap=256,
+                             frame_neighbors_cap=32, shadow_voxel_cap=256,
+                             min_inliers=0, num_selected=10)
+        cem = CEMConfig(num_init_samples=12, num_iterations=2,
+                        num_samples_per_iteration=12)
+        det = GraspDetector(cfg)
+        sis = SequentialImportanceSampling(det, cem)
+        out_fused = sis.detect(cloud, key=jax.random.PRNGKey(7),
+                               verbose=False)
+        counts_fused = list(sis.last_round_counts)
+        sis._force_loop = True
+        out_loop = sis.detect(cloud, key=jax.random.PRNGKey(7),
+                              verbose=False)
+        assert counts_fused == list(sis.last_round_counts)
+        vf, vl = np.asarray(out_fused.valid), np.asarray(out_loop.valid)
+        np.testing.assert_array_equal(vf, vl)
+        np.testing.assert_allclose(np.asarray(out_fused.position)[vf],
+                                   np.asarray(out_loop.position)[vl],
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out_fused.score)[vf],
+                                   np.asarray(out_loop.score)[vl],
+                                   atol=1e-5)
+
     def test_end_to_end(self, rng):
         pts, nrm = cylinder_cloud(rng)
         cloud = CloudArrays.from_numpy(pts, normals=nrm)
@@ -176,12 +206,23 @@ class TestCEMDetect:
         cem = CEMConfig(num_init_samples=8, num_iterations=4,
                         num_samples_per_iteration=8, min_score=-1e9)
         sis = SequentialImportanceSampling(det, cem)
+        # The single-device default is the fully fused program (one compile
+        # for the entire run); the per-round property under test lives in
+        # the Python loop path, still used by mesh mode.
+        sis._force_loop = True
         cem_mod._draw_round.clear_cache()
         sis.detect(cloud, key=jax.random.PRNGKey(0), verbose=False)
         assert cem_mod._draw_round._cache_size() == 1
         assert len(sis.last_round_counts) == 5
         sis.detect(cloud, key=jax.random.PRNGKey(1), verbose=False)
         assert cem_mod._draw_round._cache_size() == 1
+        # And the fused path compiles exactly once across repeat runs.
+        sis._force_loop = False
+        cem_mod._cem_fused.clear_cache()
+        sis.detect(cloud, key=jax.random.PRNGKey(2), verbose=False)
+        assert cem_mod._cem_fused._cache_size() == 1
+        sis.detect(cloud, key=jax.random.PRNGKey(3), verbose=False)
+        assert cem_mod._cem_fused._cache_size() == 1
 
     def test_reference_cem_config_parses(self):
         cem = CEMConfig.from_file("/root/reference/cfg/cem_vino_params.cfg")
